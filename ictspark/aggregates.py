@@ -1,0 +1,213 @@
+"""Yield-report aggregates (SURVEY.md §2.4–2.6, semantics locked in SEMANTICS.md).
+
+Every aggregate is built from built-in functions + window specs — no UDAFs
+(SURVEY.md §2.10). All are algebraic (sum/max/min/count), so Spark performs
+map-side partial aggregation automatically; hot conv_ids therefore combine
+locally before the shuffle, which is the first line of skew defense. Window
+partitions are (conv_id, step) — far finer than conv_id — so hot convs do not
+create hot window partitions.
+
+Output-formatting rules (SEMANTICS.md): timestamps → 'yyyy-MM-dd HH:mm:ss'
+strings, pct rounded to 2 dp, so DuckDB oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+def fmt_ts(col: str, alias: str | None = None) -> F.Column:
+    return F.date_format(col, TS_FMT).alias(alias or col)
+
+
+def with_attempt(steps: DataFrame) -> DataFrame:
+    """W1/W2/W4: attempt rank per (conv, step); retest = attempt > 1."""
+    asc = Window.partitionBy("conv_id", "step").orderBy("turn_idx", "line_no")
+    desc = Window.partitionBy("conv_id", "step").orderBy(F.desc("turn_idx"), F.desc("line_no"))
+    return steps.withColumn("attempt", F.row_number().over(asc)).withColumn(
+        "is_last", F.row_number().over(desc) == 1
+    )
+
+
+def runs(steps_a: DataFrame) -> DataFrame:
+    """Run grain (logfile analog): one row per (conv_id, attempt)."""
+    return (
+        steps_a.groupBy("conv_id", "session_id", "board_idx", "attempt")
+        .agg(
+            F.min("ts").alias("run_ts"),
+            F.max(F.when(F.col("status") != "pass", 1).otherwise(0)).alias("any_fail"),
+            F.count(F.lit(1)).alias("n_steps"),
+        )
+        .withColumn("result", F.when(F.col("any_fail") == 1, "fail").otherwise("pass"))
+    )
+
+
+def conv_final(steps_a: DataFrame) -> DataFrame:
+    """Per conv: final (after-retest) result — each step's LAST attempt
+    (reference: overall = last log, main.rs:1205)."""
+    return (
+        steps_a.where("is_last")
+        .groupBy("conv_id", "session_id")
+        .agg(F.max(F.when(F.col("status") != "pass", 1).otherwise(0)).alias("any_fail"))
+        .withColumn("result", F.when(F.col("any_fail") == 1, "fail").otherwise("pass"))
+    )
+
+
+def _yield_row(df: DataFrame, level: str, grain: str) -> DataFrame:
+    return df.agg(
+        F.lit(level).alias("level"),
+        F.lit(grain).alias("grain"),
+        F.sum(F.when(F.col("any_fail") == 0, 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("any_fail") == 1, 1).otherwise(0)).alias("nok"),
+    )
+
+
+def yields(steps_a: DataFrame) -> DataFrame:
+    """A1 + A2: OK/NOK/pct at {conv, session} × {first, after_retest, total}.
+
+    Reference grain mapping: labels FirstT/AfterRT/Total at main.rs:713-715
+    reading Yield[0]/[1]/[2] at main.rs:727-729.
+    """
+    r = runs(steps_a)
+    fin = conv_final(steps_a)
+    sess_first = r.where("attempt = 1").groupBy("session_id").agg(F.max("any_fail").alias("any_fail"))
+    sess_final = fin.groupBy("session_id").agg(F.max("any_fail").alias("any_fail"))
+    sess_total = r.groupBy("session_id", "attempt").agg(F.max("any_fail").alias("any_fail"))
+    out = (
+        _yield_row(r.where("attempt = 1"), "conv", "first")
+        .unionByName(_yield_row(fin, "conv", "after_retest"))
+        .unionByName(_yield_row(r, "conv", "total"))
+        .unionByName(_yield_row(sess_first, "session", "first"))
+        .unionByName(_yield_row(sess_final, "session", "after_retest"))
+        .unionByName(_yield_row(sess_total, "session", "total"))
+    )
+    return out.withColumn("pct", F.round(100.0 * F.col("ok") / (F.col("ok") + F.col("nok")), 2))
+
+
+def _fail_modes(steps_a: DataFrame) -> DataFrame:
+    fails = steps_a.where(F.col("status") != "pass")
+    return (
+        fails.where("attempt = 1").withColumn("mode", F.lit("first"))
+        .unionByName(fails.withColumn("mode", F.lit("all")))
+        .unionByName(fails.where("is_last").withColumn("mode", F.lit("after_retest")))
+    )
+
+
+def failure_counts(steps_a: DataFrame) -> DataFrame:
+    """A3 totals: per (mode, step) failing-execution count."""
+    return _fail_modes(steps_a).groupBy("mode", "step").agg(F.count(F.lit(1)).alias("n_fail"))
+
+
+def failure_detail(steps_a: DataFrame) -> DataFrame:
+    """A3 detail: (mode, step, conv_id, ts) exploded rows (main.rs:868-886)."""
+    return _fail_modes(steps_a).select("mode", "step", "conv_id", fmt_ts("ts"))
+
+
+def failures_by_index(steps_a: DataFrame) -> DataFrame:
+    """A3 by_index: failure histogram per panel position (main.rs:891-918)."""
+    return _fail_modes(steps_a).groupBy("mode", "step", "board_idx").agg(
+        F.count(F.lit(1)).alias("n_fail")
+    )
+
+
+def hourly_stats(steps_a: DataFrame) -> DataFrame:
+    """A4: per hour bucket of run start: ok/nok run counts."""
+    r = runs(steps_a)
+    return (
+        r.groupBy(F.date_format(F.date_trunc("hour", "run_ts"), TS_FMT).alias("hour"))
+        .agg(
+            F.sum(F.when(F.col("any_fail") == 0, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("any_fail") == 1, 1).otherwise(0)).alias("nok"),
+        )
+    )
+
+
+def hourly_detail(steps_a: DataFrame) -> DataFrame:
+    """A4 detail rows (time-ordered list equivalent, exploded)."""
+    r = runs(steps_a)
+    return r.select(
+        F.date_format(F.date_trunc("hour", "run_ts"), TS_FMT).alias("hour"),
+        fmt_ts("run_ts", "run_ts"),
+        "result",
+        "conv_id",
+    )
+
+
+def hourly_totals(steps_a: DataFrame) -> DataFrame:
+    """A9: hourly rollup with grand-total row (daily_yield.rs:100-115)."""
+    h = hourly_stats(steps_a)
+    return h.rollup("hour").agg(F.sum("ok").alias("ok"), F.sum("nok").alias("nok")).withColumn(
+        "hour", F.coalesce("hour", F.lit("TOTAL"))
+    )
+
+
+def mb_results(steps_a: DataFrame) -> DataFrame:
+    """A5: per (session, attempt): start ts + overall result (main.rs:1195-1264)."""
+    r = runs(steps_a)
+    return (
+        r.groupBy("session_id", "attempt")
+        .agg(
+            F.date_format(F.min("run_ts"), TS_FMT).alias("run_ts"),
+            F.max("any_fail").alias("any_fail"),
+        )
+        .withColumn("result", F.when(F.col("any_fail") == 1, "fail").otherwise("pass"))
+        .drop("any_fail")
+    )
+
+
+def mb_positions(steps_a: DataFrame) -> DataFrame:
+    """A5 per-position detail: (session, attempt, board_idx, result) (main.rs:1248)."""
+    r = runs(steps_a)
+    return r.select("session_id", "attempt", "board_idx", "result")
+
+
+def limit_changes(steps_a: DataFrame) -> DataFrame:
+    """A6/W7: steps with >1 distinct limit tuple (main.rs:1322-1345)."""
+    return (
+        steps_a.where(F.col("lo").isNotNull())
+        .groupBy("step")
+        .agg(F.countDistinct(F.struct("lo", "nom", "hi")).alias("n_limits"))
+        .where("n_limits > 1")
+    )
+
+
+def testlist(steps_a: DataFrame) -> DataFrame:
+    """A7: ordered distinct step names (main.rs:972,978)."""
+    return steps_a.select("step").distinct().orderBy("step")
+
+
+def failed_boards(steps_a: DataFrame) -> DataFrame:
+    """A8: failing runs with joined failed-step names (daily_yield.rs:146-165)."""
+    per_run = steps_a.groupBy("conv_id", "attempt").agg(
+        F.min("ts").alias("run_ts"),
+        F.max(F.when(F.col("status") != "pass", 1).otherwise(0)).alias("any_fail"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.when(F.col("status") != "pass", F.col("step")))),
+            ", ",
+        ).alias("failed_steps"),
+    )
+    return per_run.where("any_fail = 1").select(
+        "conv_id", "attempt", fmt_ts("run_ts", "run_ts"), "failed_steps"
+    )
+
+
+def retest_counts(steps_a: DataFrame) -> DataFrame:
+    """W4: per step: executions, retests (attempt>1), distinct convs."""
+    return steps_a.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_exec"),
+        F.sum(F.when(F.col("attempt") > 1, 1).otherwise(0)).alias("n_retest"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def first_fail(steps_a: DataFrame) -> DataFrame:
+    """W3: first-fail attribution per conv (log_info_window.rs:26-33)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "line_no")
+    fails = steps_a.where(F.col("status") != "pass")
+    return (
+        fails.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("conv_id", "step", "turn_idx", fmt_ts("ts"))
+    )

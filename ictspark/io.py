@@ -1,0 +1,33 @@
+"""Source loaders. Iceberg-first design with a parquet fallback (SURVEY §7 risk note):
+the iceberg-spark-runtime jar is not available offline in this sandbox, so the
+default format is parquet directories laid out with the same partition scheme a
+`days(ts)`-partitioned Iceberg table would have. Every writer goes through
+``ictspark.route`` which honors ``ICTSPARK_FORMAT=iceberg|parquet``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ictspark import synth
+
+
+def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the synthesized transcripts table matching a driver sf dir."""
+    d = synth.synth_dir_for(sf_dir)
+    return spark.read.parquet(os.path.join(d, "transcripts.parquet"))
+
+
+def load_dims(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    d = synth.synth_dir_for(sf_dir)
+    return (
+        spark.read.parquet(os.path.join(d, "tool_dim.parquet")),
+        spark.read.parquet(os.path.join(d, "role_dim.parquet")),
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Driver-provided TPC-H-ish table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,215 @@
+"""DuckDB oracle SQL for every transcript-pipeline query (SURVEY.md §5.1).
+
+Each oracle is a self-contained SQL string: a shared WITH-prefix that parses the
+synthesized transcripts parquet with the SAME regexes as ictspark/parse.py
+(RE2-compatible by construction), followed by the aggregate. Column aliases are
+kept identical to the Spark side so the driver's order-insensitive value hash
+matches.
+"""
+
+from __future__ import annotations
+
+from ictspark.parse import STEP_RE
+
+_TSF = "%Y-%m-%d %H:%M:%S"
+
+
+def _prefix(transcripts_path: str, tool_dim_path: str) -> str:
+    r = STEP_RE.replace("'", "''")
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
+tool_dim AS (SELECT * FROM read_parquet('{tool_dim_path}')),
+lines AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM t
+),
+steps0 AS (
+  SELECT conv_id,
+         substr(conv_id, 1, 9) AS session_id,
+         CAST(substr(conv_id, 11, 2) AS INT) AS board_idx,
+         turn_idx, line_no, ts, role, tool,
+         regexp_extract(line, '{r}', 1) AS step,
+         regexp_extract(line, '{r}', 2) AS status,
+         TRY_CAST(NULLIF(regexp_extract(line, '{r}', 3), '') AS DOUBLE) AS "value",
+         TRY_CAST(NULLIF(regexp_extract(line, '{r}', 4), '') AS DOUBLE) AS lim2_hi,
+         TRY_CAST(NULLIF(regexp_extract(line, '{r}', 5), '') AS DOUBLE) AS lim2_lo,
+         TRY_CAST(NULLIF(regexp_extract(line, '{r}', 6), '') AS DOUBLE) AS lim3_nom,
+         TRY_CAST(NULLIF(regexp_extract(line, '{r}', 7), '') AS DOUBLE) AS lim3_hi,
+         TRY_CAST(NULLIF(regexp_extract(line, '{r}', 8), '') AS DOUBLE) AS lim3_lo
+  FROM lines WHERE line LIKE 'STEP %'
+),
+steps AS (
+  SELECT conv_id, session_id, board_idx, turn_idx, line_no, ts, role, tool, step, status,
+         "value",
+         COALESCE(lim2_lo, lim3_lo) AS lo,
+         lim3_nom AS nom,
+         COALESCE(lim2_hi, lim3_hi) AS hi
+  FROM steps0 WHERE step <> ''
+),
+steps_a AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, step ORDER BY turn_idx, line_no) AS attempt,
+         (ROW_NUMBER() OVER (PARTITION BY conv_id, step ORDER BY turn_idx DESC, line_no DESC) = 1) AS is_last
+  FROM steps
+),
+runs AS (
+  SELECT conv_id, session_id, board_idx, attempt,
+         MIN(ts) AS run_ts,
+         MAX(CASE WHEN status <> 'pass' THEN 1 ELSE 0 END) AS any_fail,
+         COUNT(*) AS n_steps
+  FROM steps_a GROUP BY 1, 2, 3, 4
+),
+conv_final AS (
+  SELECT conv_id, session_id,
+         MAX(CASE WHEN status <> 'pass' THEN 1 ELSE 0 END) AS any_fail
+  FROM steps_a WHERE is_last GROUP BY 1, 2
+),
+fail_modes AS (
+  SELECT 'first' AS mode, * FROM steps_a WHERE status <> 'pass' AND attempt = 1
+  UNION ALL SELECT 'all' AS mode, * FROM steps_a WHERE status <> 'pass'
+  UNION ALL SELECT 'after_retest' AS mode, * FROM steps_a WHERE status <> 'pass' AND is_last
+)
+"""
+
+
+def transcript_oracles(transcripts_path: str, tool_dim_path: str) -> dict[str, str]:
+    p = _prefix(transcripts_path, tool_dim_path)
+    q: dict[str, str] = {}
+
+    q["parse_steps"] = p + f"""
+SELECT conv_id, turn_idx, line_no, step, status,
+       "value" AS value, lo, nom, hi,
+       strftime(ts, '{_TSF}') AS ts
+FROM steps"""
+
+    q["yield_report"] = p + """
+, g AS (
+  SELECT 'conv' AS level, 'first' AS grain,
+         CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok, CAST(SUM(any_fail) AS BIGINT) AS nok
+  FROM runs WHERE attempt = 1
+  UNION ALL
+  SELECT 'conv', 'after_retest', CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT), CAST(SUM(any_fail) AS BIGINT)
+  FROM conv_final
+  UNION ALL
+  SELECT 'conv', 'total', CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT), CAST(SUM(any_fail) AS BIGINT)
+  FROM runs
+  UNION ALL
+  SELECT 'session', 'first', CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT), CAST(SUM(any_fail) AS BIGINT)
+  FROM (SELECT session_id, MAX(any_fail) AS any_fail FROM runs WHERE attempt = 1 GROUP BY 1)
+  UNION ALL
+  SELECT 'session', 'after_retest', CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT), CAST(SUM(any_fail) AS BIGINT)
+  FROM (SELECT session_id, MAX(any_fail) AS any_fail FROM conv_final GROUP BY 1)
+  UNION ALL
+  SELECT 'session', 'total', CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT), CAST(SUM(any_fail) AS BIGINT)
+  FROM (SELECT session_id, attempt, MAX(any_fail) AS any_fail FROM runs GROUP BY 1, 2)
+)
+SELECT level, grain, ok, nok, ROUND(100.0 * ok / (ok + nok), 2) AS pct FROM g"""
+
+    q["failure_counts"] = p + """
+SELECT mode, step, COUNT(*) AS n_fail FROM fail_modes GROUP BY 1, 2"""
+
+    q["failure_detail"] = p + f"""
+SELECT mode, step, conv_id, strftime(ts, '{_TSF}') AS ts FROM fail_modes"""
+
+    q["failures_by_index"] = p + """
+SELECT mode, step, board_idx, COUNT(*) AS n_fail FROM fail_modes GROUP BY 1, 2, 3"""
+
+    q["hourly_stats"] = p + f"""
+SELECT strftime(date_trunc('hour', run_ts), '{_TSF}') AS hour,
+       CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+       CAST(SUM(CASE WHEN any_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nok
+FROM runs GROUP BY 1"""
+
+    q["hourly_detail"] = p + f"""
+SELECT strftime(date_trunc('hour', run_ts), '{_TSF}') AS hour,
+       strftime(run_ts, '{_TSF}') AS run_ts,
+       CASE WHEN any_fail = 1 THEN 'fail' ELSE 'pass' END AS result,
+       conv_id
+FROM runs"""
+
+    q["hourly_totals"] = p + f"""
+, h AS (
+  SELECT strftime(date_trunc('hour', run_ts), '{_TSF}') AS hour,
+         CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+         CAST(SUM(CASE WHEN any_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nok
+  FROM runs GROUP BY 1
+)
+SELECT COALESCE(hour, 'TOTAL') AS hour, CAST(SUM(ok) AS BIGINT) AS ok, CAST(SUM(nok) AS BIGINT) AS nok
+FROM h GROUP BY ROLLUP (hour)"""
+
+    q["mb_results"] = p + f"""
+SELECT session_id, attempt,
+       strftime(MIN(run_ts), '{_TSF}') AS run_ts,
+       CASE WHEN MAX(any_fail) = 1 THEN 'fail' ELSE 'pass' END AS result
+FROM runs GROUP BY 1, 2"""
+
+    q["mb_positions"] = p + """
+SELECT session_id, attempt, board_idx,
+       CASE WHEN any_fail = 1 THEN 'fail' ELSE 'pass' END AS result
+FROM runs"""
+
+    q["limit_changes"] = p + """
+SELECT step, COUNT(DISTINCT (lo, nom, hi)) AS n_limits
+FROM steps_a WHERE lo IS NOT NULL
+GROUP BY 1 HAVING COUNT(DISTINCT (lo, nom, hi)) > 1"""
+
+    q["testlist"] = p + """
+SELECT DISTINCT step FROM steps_a ORDER BY step"""
+
+    q["failed_boards"] = p + f"""
+SELECT conv_id, attempt,
+       strftime(MIN(ts), '{_TSF}') AS run_ts,
+       string_agg(DISTINCT CASE WHEN status <> 'pass' THEN step END, ', ' ORDER BY CASE WHEN status <> 'pass' THEN step END) AS failed_steps
+FROM steps_a
+GROUP BY 1, 2
+HAVING MAX(CASE WHEN status <> 'pass' THEN 1 ELSE 0 END) = 1"""
+
+    q["retest_counts"] = p + """
+SELECT step, COUNT(*) AS n_exec,
+       CAST(SUM(CASE WHEN attempt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retest,
+       COUNT(DISTINCT conv_id) AS n_convs
+FROM steps_a GROUP BY 1"""
+
+    q["first_fail"] = p + f"""
+SELECT conv_id, step, turn_idx, strftime(ts, '{_TSF}') AS ts
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, line_no) AS rn
+  FROM steps_a WHERE status <> 'pass'
+) WHERE rn = 1"""
+
+    q["route_counts"] = p + """
+SELECT COALESCE(d.route_key, 'misc') AS route_key, COUNT(*) AS n
+FROM steps_a s LEFT JOIN tool_dim d ON s.tool = d.tool
+GROUP BY 1"""
+
+    q["tool_call_stats"] = p + """
+, tc AS (
+  SELECT regexp_extract(line, '^TOOL_CALL ([A-Za-z_][A-Za-z0-9_]*) ARGS=(.*)$', 1) AS called_tool
+  FROM lines WHERE line LIKE 'TOOL_CALL %'
+)
+SELECT called_tool, COUNT(*) AS n_calls FROM tc WHERE called_tool <> '' GROUP BY 1"""
+
+    q["retest_marker_parity"] = p + """
+, rm AS (
+  SELECT conv_id, turn_idx, line_no,
+         regexp_extract(line, '^RETEST ([crvldu][0-9]{3}(?:%[A-Z]+)?) ATTEMPT=([0-9]+)$', 1) AS step,
+         TRY_CAST(regexp_extract(line, '^RETEST ([crvldu][0-9]{3}(?:%[A-Z]+)?) ATTEMPT=([0-9]+)$', 2) AS INT) AS attempt_claimed
+  FROM lines WHERE line LIKE 'RETEST %'
+)
+SELECT COUNT(*) AS n_markers,
+       CAST(SUM(CASE WHEN s.attempt = rm.attempt_claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_rank_match
+FROM (SELECT * FROM rm WHERE step <> '') rm
+JOIN steps_a s ON s.conv_id = rm.conv_id AND s.turn_idx = rm.turn_idx AND s.step = rm.step"""
+
+    q["reassembly_check"] = p + """
+, re AS (
+  SELECT conv_id, turn_idx, string_agg(line, chr(10) ORDER BY line_no) AS rebuilt
+  FROM lines GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN re.rebuilt = t.text THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+FROM re JOIN t ON t.conv_id = re.conv_id AND t.turn_idx = re.turn_idx"""
+
+    return q

@@ -1,0 +1,190 @@
+"""Vectorized parse stage (SURVEY.md S4 — the LogFileHandler::push_from_file analog,
+/root/reference/src/main.rs:497).
+
+Two interchangeable implementations, identical output schema (SEMANTICS.md "steps"):
+
+1. ``parse_steps`` — pure built-in functions: split → posexplode → regexp_extract.
+   Runs entirely JVM-side inside whole-stage codegen; zero Python in the hot path.
+   This is the production path: at 100 TB the scan→parse stage never leaves the JVM,
+   filters/pruning push down to the parquet/Iceberg scan, and Catalyst can reorder
+   around it.
+2. ``parse_steps_arrow`` — ``mapInArrow`` with pandas ``str.extract`` (precompiled
+   regex, zero per-row Python) per the north_star's pandas/Arrow-UDF mandate.
+   Kept for parity/bench comparison; the built-in path wins (see BENCH/).
+
+Regexes are RE2-compatible so the DuckDB oracle runs the same patterns
+(SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# step name syntax per reference test names (/root/reference/src/locals.rs:66)
+STEP_RE = (
+    r"^STEP ([crvldu][0-9]{3}(?:%[A-Z]+)?) STATUS=(pass|fail|error)"
+    r"(?: VALUE=(-?[0-9]+\.[0-9]+))?"
+    r"(?: LIM2=(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)"
+    r"| LIM3=(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+))?$"
+)
+TOOL_CALL_RE = r"^TOOL_CALL ([A-Za-z_][A-Za-z0-9_]*) ARGS=(.*)$"
+RETEST_RE = r"^RETEST ([crvldu][0-9]{3}(?:%[A-Z]+)?) ATTEMPT=([0-9]+)$"
+
+def with_identity(df: DataFrame) -> DataFrame:
+    """Derived identities (SEMANTICS.md): conv-NNNN-BB → session + panel position."""
+    return df.withColumn("session_id", F.substring("conv_id", 1, 9)).withColumn(
+        "board_idx", F.substring("conv_id", 11, 2).cast("int")
+    )
+
+
+def explode_lines(transcripts: DataFrame) -> DataFrame:
+    """One row per text line, keyed (conv_id, turn_idx, line_no).
+
+    posexplode keeps line ordering stable — required for the per-turn text
+    equality invariant (reassembly test) and attempt ranking.
+    """
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
+    )
+
+
+def parse_steps(transcripts: DataFrame) -> DataFrame:
+    """STEP marker lines → typed steps rows. Fully JVM-side (codegen)."""
+    lines = explode_lines(transcripts)
+    m = lines.where(F.col("line").startswith("STEP ")).select(
+        "conv_id",
+        "turn_idx",
+        "line_no",
+        "ts",
+        "role",
+        "tool",
+        F.regexp_extract("line", STEP_RE, 1).alias("step"),
+        F.regexp_extract("line", STEP_RE, 2).alias("status"),
+        F.nullif(F.regexp_extract("line", STEP_RE, 3), F.lit("")).cast("double").alias("value"),
+        F.nullif(F.regexp_extract("line", STEP_RE, 4), F.lit("")).cast("double").alias("lim2_hi"),
+        F.nullif(F.regexp_extract("line", STEP_RE, 5), F.lit("")).cast("double").alias("lim2_lo"),
+        F.nullif(F.regexp_extract("line", STEP_RE, 6), F.lit("")).cast("double").alias("lim3_nom"),
+        F.nullif(F.regexp_extract("line", STEP_RE, 7), F.lit("")).cast("double").alias("lim3_hi"),
+        F.nullif(F.regexp_extract("line", STEP_RE, 8), F.lit("")).cast("double").alias("lim3_lo"),
+    )
+    m = m.where(F.col("step") != "")  # 'STEP...' prefix lines that don't match the grammar
+    return with_identity(m).select(
+        "conv_id",
+        "session_id",
+        "board_idx",
+        "turn_idx",
+        "line_no",
+        "ts",
+        "role",
+        "tool",
+        "step",
+        "status",
+        "value",
+        F.coalesce("lim2_lo", "lim3_lo").alias("lo"),
+        F.col("lim3_nom").alias("nom"),
+        F.coalesce("lim2_hi", "lim3_hi").alias("hi"),
+    )
+
+
+def parse_tool_calls(transcripts: DataFrame) -> DataFrame:
+    lines = explode_lines(transcripts)
+    m = lines.where(F.col("line").startswith("TOOL_CALL ")).select(
+        "conv_id",
+        "turn_idx",
+        "line_no",
+        "ts",
+        "role",
+        F.regexp_extract("line", TOOL_CALL_RE, 1).alias("called_tool"),
+        F.regexp_extract("line", TOOL_CALL_RE, 2).alias("args"),
+    )
+    return with_identity(m.where(F.col("called_tool") != ""))
+
+
+def parse_retest_markers(transcripts: DataFrame) -> DataFrame:
+    lines = explode_lines(transcripts)
+    m = lines.where(F.col("line").startswith("RETEST ")).select(
+        "conv_id",
+        "turn_idx",
+        "line_no",
+        "ts",
+        F.regexp_extract("line", RETEST_RE, 1).alias("step"),
+        F.regexp_extract("line", RETEST_RE, 2).cast("int").alias("attempt_claimed"),
+    )
+    return with_identity(m.where(F.col("step") != ""))
+
+
+def parse_steps_arrow(transcripts: DataFrame) -> DataFrame:
+    """Arrow-vectorized alternative parse (north_star pandas/Arrow-UDF mandate).
+
+    mapInArrow + pandas ``str.extractall`` with a precompiled regex: batches cross
+    the JVM↔Python boundary as Arrow RecordBatches; no per-row Python. Output
+    schema identical to ``parse_steps``.
+    """
+    import pyarrow as pa  # noqa: F401  (lazy: executors import on demand)
+
+    from ictspark.schema import STEPS
+
+    def _batches(it):
+        import re
+
+        import pandas as pd
+        import pyarrow as pa
+
+        rx = re.compile(
+            r"^STEP (?P<step>[crvldu][0-9]{3}(?:%[A-Z]+)?) STATUS=(?P<status>pass|fail|error)"
+            r"(?: VALUE=(?P<value>-?[0-9]+\.[0-9]+))?"
+            r"(?: LIM2=(?P<lim2_hi>-?[0-9]+\.[0-9]+),(?P<lim2_lo>-?[0-9]+\.[0-9]+)"
+            r"| LIM3=(?P<lim3_nom>-?[0-9]+\.[0-9]+),(?P<lim3_hi>-?[0-9]+\.[0-9]+),(?P<lim3_lo>-?[0-9]+\.[0-9]+))?$",
+            re.M,
+        )
+        out_schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("session_id", pa.string()),
+                ("board_idx", pa.int32()),
+                ("turn_idx", pa.int32()),
+                ("line_no", pa.int32()),
+                ("ts", pa.timestamp("us")),
+                ("role", pa.string()),
+                ("tool", pa.string()),
+                ("step", pa.string()),
+                ("status", pa.string()),
+                ("value", pa.float64()),
+                ("lo", pa.float64()),
+                ("nom", pa.float64()),
+                ("hi", pa.float64()),
+            ]
+        )
+        for batch in it:
+            pdf = batch.to_pandas()
+            if len(pdf) == 0:
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(columns=out_schema.names), schema=out_schema, preserve_index=False
+                )
+                continue
+            lines = pdf["text"].str.split("\n").explode()
+            ln = lines.groupby(level=0).cumcount().astype("int32")
+            base = pdf.loc[lines.index, ["conv_id", "turn_idx", "role", "tool", "ts"]].reset_index(drop=True)
+            base["line_no"] = ln.values
+            ext = lines.reset_index(drop=True).str.extract(rx)  # vectorized regex, no Python loop
+            hit = ext["step"].notna()
+            r = pd.concat([base[hit].reset_index(drop=True), ext[hit].reset_index(drop=True)], axis=1)
+            r["session_id"] = r["conv_id"].str.slice(0, 9)
+            r["board_idx"] = r["conv_id"].str.slice(10, 12).astype("int32")
+            for c in ("value", "lim2_hi", "lim2_lo", "lim3_nom", "lim3_hi", "lim3_lo"):
+                r[c] = pd.to_numeric(r[c], errors="coerce")
+            r["lo"] = r["lim2_lo"].fillna(r["lim3_lo"])
+            r["nom"] = r["lim3_nom"]
+            r["hi"] = r["lim2_hi"].fillna(r["lim3_hi"])
+            r["turn_idx"] = r["turn_idx"].astype("int32")
+            yield pa.RecordBatch.from_pandas(
+                r[list(out_schema.names)], schema=out_schema, preserve_index=False
+            )
+
+    return transcripts.mapInArrow(_batches, STEPS)

@@ -1,0 +1,46 @@
+"""Run the driver-style parity check locally: every queries() entry vs its
+oracle_sql() at sf0.01 (or a given sf dir). Usage: python scripts/parity.py [sf_dir] [only...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as E
+from ictspark.compare import diff
+from ictspark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cpus=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    qs, os_ = E.queries(), E.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        spdf = fn(spark, sf_dir).toPandas()
+        if name not in os_:
+            print(f"{name:24s} rows={len(spdf):7d}  (rows-only, no oracle)  {time.time()-t0:.1f}s")
+            continue
+        ddf = con.execute(os_[name]).df()
+        d = diff(spdf, ddf)
+        status = "OK " if d is None else "FAIL"
+        print(f"{name:24s} rows={len(spdf):7d}  {status}  {time.time()-t0:.1f}s")
+        if d:
+            failed.append(name)
+            print("  " + d.replace("\n", "\n  ")[:2000])
+    spark.stop()
+    print("FAILED:" if failed else "ALL OK", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
