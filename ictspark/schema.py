@@ -6,6 +6,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -45,7 +46,7 @@ STEPS = StructType(
         StructField("board_idx", IntegerType(), False),
         StructField("turn_idx", IntegerType(), False),
         StructField("line_no", IntegerType(), False),
-        StructField("ts", TimestampType(), True),
+        StructField("ts", TimestampNTZType(), True),
         StructField("role", StringType(), True),
         StructField("tool", StringType(), True),
         StructField("step", StringType(), False),

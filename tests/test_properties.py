@@ -1,0 +1,61 @@
+"""Property tests (SURVEY.md §5.4): cross-aggregate invariants that must hold
+for ANY input, plus dedupe idempotence."""
+
+from pyspark.sql import functions as F
+
+from ictspark import aggregates as A
+from ictspark import io, parse
+
+
+def _steps_a(spark, sf_dir):
+    return A.with_attempt(parse.parse_steps(io.load_transcripts(spark, sf_dir)))
+
+
+def test_hourly_sums_to_total_yield(spark, smoke_sf_dir):
+    sa = _steps_a(spark, smoke_sf_dir)
+    h = A.hourly_stats(sa).agg(F.sum("ok").alias("ok"), F.sum("nok").alias("nok")).first()
+    y = A.yields(sa).where("level = 'conv' and grain = 'total'").first()
+    assert (h["ok"], h["nok"]) == (y["ok"], y["nok"])
+
+
+def test_grain_consistency(spark, smoke_sf_dir):
+    """First-pass failures ≥ after-retest failures; populations equal."""
+    sa = _steps_a(spark, smoke_sf_dir)
+    y = {r["grain"]: r for r in A.yields(sa).where("level = 'conv'").collect()}
+    assert y["first"]["nok"] >= y["after_retest"]["nok"]
+    assert y["first"]["ok"] + y["first"]["nok"] == y["after_retest"]["ok"] + y["after_retest"]["nok"]
+    assert y["total"]["ok"] + y["total"]["nok"] >= y["first"]["ok"] + y["first"]["nok"]
+
+
+def test_failure_detail_matches_counts(spark, smoke_sf_dir):
+    sa = _steps_a(spark, smoke_sf_dir)
+    from_detail = (
+        A.failure_detail(sa).groupBy("mode", "step").count().withColumnRenamed("count", "n_fail")
+    )
+    diff = A.failure_counts(sa).exceptAll(from_detail).count()
+    assert diff == 0
+
+
+def test_by_index_sums_to_counts(spark, smoke_sf_dir):
+    sa = _steps_a(spark, smoke_sf_dir)
+    summed = A.failures_by_index(sa).groupBy("mode", "step").agg(F.sum("n_fail").alias("n_fail"))
+    assert A.failure_counts(sa).exceptAll(summed).count() == 0
+
+
+def test_dedupe_idempotence(spark, smoke_sf_dir):
+    """Re-ingesting an overlap window (AutoUpdate 5 s re-read, SURVEY T2/T4)
+    must not change results after dropDuplicates."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    overlap = t.where(F.col("ts") >= F.lit("2024-03-02 00:00:00"))
+    doubled = t.unionByName(overlap).dropDuplicates(["conv_id", "turn_idx"])
+    a = A.yields(A.with_attempt(parse.parse_steps(doubled)))
+    b = A.yields(A.with_attempt(parse.parse_steps(t)))
+    assert a.exceptAll(b).count() == 0
+
+
+def test_retest_counts_consistent(spark, smoke_sf_dir):
+    sa = _steps_a(spark, smoke_sf_dir)
+    rc = A.retest_counts(sa)
+    assert rc.where(F.col("n_retest") >= F.col("n_exec")).count() == 0
+    total_exec = rc.agg(F.sum("n_exec")).first()[0]
+    assert total_exec == sa.count()
