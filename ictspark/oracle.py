@@ -27,8 +27,8 @@ lines AS (
 ),
 steps0 AS (
   SELECT conv_id,
-         substr(conv_id, 1, 9) AS session_id,
-         CAST(substr(conv_id, 11, 2) AS INT) AS board_idx,
+         regexp_extract(conv_id, '^(.*)-([0-9]{{2}})$', 1) AS session_id,
+         CAST(regexp_extract(conv_id, '^(.*)-([0-9]{{2}})$', 2) AS INT) AS board_idx,
          turn_idx, line_no, ts, role, tool,
          regexp_extract(line, '{r}', 1) AS step,
          regexp_extract(line, '{r}', 2) AS status,

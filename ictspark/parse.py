@@ -31,10 +31,16 @@ STEP_RE = (
 TOOL_CALL_RE = r"^TOOL_CALL ([A-Za-z_][A-Za-z0-9_]*) ARGS=(.*)$"
 RETEST_RE = r"^RETEST ([crvldu][0-9]{3}(?:%[A-Z]+)?) ATTEMPT=([0-9]+)$"
 
+CONV_ID_RE = r"^(.*)-([0-9]{2})$"
+
+
 def with_identity(df: DataFrame) -> DataFrame:
-    """Derived identities (SEMANTICS.md): conv-NNNN-BB → session + panel position."""
-    return df.withColumn("session_id", F.substring("conv_id", 1, 9)).withColumn(
-        "board_idx", F.substring("conv_id", 11, 2).cast("int")
+    """Derived identities (SEMANTICS.md): <session>-BB → session + panel position.
+
+    Suffix-based (not positional) so session ids of any width parse correctly.
+    """
+    return df.withColumn("session_id", F.regexp_extract("conv_id", CONV_ID_RE, 1)).withColumn(
+        "board_idx", F.regexp_extract("conv_id", CONV_ID_RE, 2).cast("int")
     )
 
 
@@ -175,8 +181,9 @@ def parse_steps_arrow(transcripts: DataFrame) -> DataFrame:
             ext = lines.reset_index(drop=True).str.extract(rx)  # vectorized regex, no Python loop
             hit = ext["step"].notna()
             r = pd.concat([base[hit].reset_index(drop=True), ext[hit].reset_index(drop=True)], axis=1)
-            r["session_id"] = r["conv_id"].str.slice(0, 9)
-            r["board_idx"] = r["conv_id"].str.slice(10, 12).astype("int32")
+            idm = r["conv_id"].str.extract(r"^(.*)-([0-9]{2})$")
+            r["session_id"] = idm[0]
+            r["board_idx"] = idm[1].astype("int32")
             for c in ("value", "lim2_hi", "lim2_lo", "lim3_nom", "lim3_hi", "lim3_lo"):
                 r[c] = pd.to_numeric(r[c], errors="coerce")
             r["lo"] = r["lim2_lo"].fillna(r["lim3_lo"])

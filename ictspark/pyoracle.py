@@ -39,11 +39,12 @@ def parse_steps(transcripts_path: str) -> list[dict]:
             if not m:
                 continue
             step, status, value, l2hi, l2lo, l3nom, l3hi, l3lo = m.groups()
+            sess, _, board = r["conv_id"].rpartition("-")
             steps.append(
                 {
                     "conv_id": r["conv_id"],
-                    "session_id": r["conv_id"][:9],
-                    "board_idx": int(r["conv_id"][10:12]),
+                    "session_id": sess,
+                    "board_idx": int(board),
                     "turn_idx": r["turn_idx"],
                     "line_no": line_no,
                     "ts": r["ts"],

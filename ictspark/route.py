@@ -26,9 +26,22 @@ def route_columns(df: DataFrame) -> DataFrame:
     return df.withColumn("day", F.to_date("ts"))
 
 
-def write_routed(df: DataFrame, path: str, fmt: str | None = None) -> None:
+def write_routed(
+    df: DataFrame, path: str, fmt: str | None = None, files_per_partition: int = 1
+) -> None:
+    """Fan-out write. Repartitions on the partition columns first so each
+    (route_key, day) sink gets `files_per_partition` files instead of one
+    sliver per upstream task (the small-files problem at 1000 executors).
+    files_per_partition > 1 adds a deterministic conv_id-hash salt so one huge
+    route/day partition can still be written by many tasks in parallel.
+    """
     fmt = fmt or os.environ.get("ICTSPARK_FORMAT", "parquet")
     routed = route_columns(df)
+    if files_per_partition > 1:
+        salt = F.pmod(F.xxhash64("conv_id"), F.lit(files_per_partition))
+        routed = routed.repartition(F.col("route_key"), F.col("day"), salt)
+    else:
+        routed = routed.repartition(F.col("route_key"), F.col("day"))
     if fmt == "iceberg":
         routed.writeTo(path).partitionedBy(F.col("route_key"), F.days("ts")).createOrReplace()
         return

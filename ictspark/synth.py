@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 3
+GEN_VERSION = 4
 SEED = 42
 BASE_TS = datetime(2024, 3, 1, 0, 0, 0)  # UTC wall clock
 CUTOVER_TS = BASE_TS + timedelta(hours=36)  # limit-change boundary (SURVEY A6)
@@ -31,8 +31,12 @@ SPREAD_S = 72 * 3600  # conv starts spread over 72 h → ≥48 hourly buckets
 
 SYNTH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "synthdata")
 
-# conversations per scale (FIXTURES.md: ~100 smoke / ~5k correctness / ~500k turns bench)
-SCALES = {"sf0.001": 100, "sf0.01": 5000, "sf0.1": 30000}
+# conversations per scale (FIXTURES.md: ~100 smoke / ~5k correctness / ~500k turns bench;
+# sf1 is the scaling-protocol tier — big enough that parallelism, not overhead, dominates)
+SCALES = {"sf0.001": 100, "sf0.01": 5000, "sf0.1": 30000, "sf1": 300000}
+# files per scale: >1 so the scan/parse stage splits across tasks (a single small
+# parquet file pins the whole parse to ONE task regardless of cluster size)
+N_FILES = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 32}
 
 TOOL_BY_PREFIX = {
     "c": "meas_capacitance",
@@ -116,21 +120,9 @@ def _limits(step: str, ts: datetime, changed: set[str]) -> tuple[float, float, f
     return round(b * 0.9, 4), round(b, 4), round(b * 1.1, 4)
 
 
-def generate(sf_name: str) -> dict[str, pa.Table]:
-    n_convs = SCALES[sf_name]
-    rng = np.random.RandomState(SEED + _crc(sf_name) % 1000)
-    pool = step_pool()
-    changed = limit_changes_steps(pool)
-
-    conv_ids: list[str] = []
-    turn_idxs: list[int] = []
-    roles: list[str] = []
-    texts: list[str] = []
-    tools: list[str | None] = []
-    tss: list[datetime] = []
-
-    # assign convs to sessions of 1..4 boards
-    conv_specs: list[tuple[str, int]] = []  # (conv_id, global conv index)
+def _conv_specs(rng: "np.random.RandomState", n_convs: int) -> list[tuple[str, int]]:
+    """Assign convs to sessions of 1..4 boards; (conv_id, global index)."""
+    specs: list[tuple[str, int]] = []
     sess = 0
     ci = 0
     while ci < n_convs:
@@ -138,89 +130,105 @@ def generate(sf_name: str) -> dict[str, pa.Table]:
         for b in range(1, k + 1):
             if ci >= n_convs:
                 break
-            conv_specs.append((f"conv-{sess:04d}-{b:02d}", ci))
+            specs.append((f"conv-{sess:04d}-{b:02d}", ci))
             ci += 1
         sess += 1
+    return specs
 
-    for conv_id, i in conv_specs:
-        hot = (i % 100) == 7  # ~1% hot convs, 100× steps (skew exercise)
-        base_n = int(rng.randint(3, 9))
-        n_steps = base_n * 100 if hot else base_n
-        if hot:
-            run1 = [pool[j] for j in rng.randint(0, len(pool), size=n_steps)]
-        else:
-            run1 = [pool[j] for j in rng.choice(len(pool), size=min(n_steps, len(pool)), replace=False)]
 
-        start = BASE_TS + timedelta(seconds=int(rng.randint(0, SPREAD_S)))
-        t = start
-        turn = 0
+class _Buf:
+    def __init__(self) -> None:
+        self.conv_ids: list[str] = []
+        self.turn_idxs: list[int] = []
+        self.roles: list[str] = []
+        self.texts: list[str] = []
+        self.tools: list[str | None] = []
+        self.tss: list[datetime] = []
 
-        def emit(role: str, text: str, tool: str | None) -> None:
-            nonlocal turn, t
-            conv_ids.append(conv_id)
-            turn_idxs.append(turn)
-            roles.append(role)
-            texts.append(text)
-            tools.append(tool)
-            tss.append(t)
-            turn += 1
-            t = t + timedelta(seconds=int(rng.randint(5, 90)))
+    def table(self) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pa.array(self.conv_ids, pa.string()),
+                "turn_idx": pa.array(self.turn_idxs, pa.int32()),
+                "role": pa.array(self.roles, pa.string()),
+                "text": pa.array(self.texts, pa.string()),
+                "tool": pa.array(self.tools, pa.string()),
+                "ts": pa.array(self.tss, pa.timestamp("us")),
+            }
+        )
 
-        emit("user", f"please run the test plan for {conv_id}", None)
 
-        # executions: run 1 all steps; failing steps retried (≤3 attempts)
-        executions: list[tuple[str, int, str]] = []  # (step, attempt, status)
-        pending = [(s, 1) for s in run1]
-        while pending:
-            nxt: list[tuple[str, int]] = []
-            for step, attempt in pending:
-                r = rng.random_sample()
-                if attempt == 1:
-                    status = "fail" if r < 0.10 else ("error" if r < 0.12 else "pass")
-                else:
-                    status = "fail" if r < 0.25 else ("error" if r < 0.27 else "pass")
-                executions.append((step, attempt, status))
-                if status != "pass" and attempt < 3:
-                    nxt.append((step, attempt + 1))
-            pending = nxt
+def _gen_conv(rng, buf: _Buf, conv_id: str, i: int, pool: list[str], changed: set[str]) -> None:
+    hot = (i % 100) == 7  # ~1% hot convs, 100x steps (skew exercise)
+    base_n = int(rng.randint(3, 9))
+    n_steps = base_n * 100 if hot else base_n
+    if hot:
+        run1 = [pool[j] for j in rng.randint(0, len(pool), size=n_steps)]
+    else:
+        run1 = [pool[j] for j in rng.choice(len(pool), size=min(n_steps, len(pool)), replace=False)]
 
-        for step, attempt, status in executions:
-            tool = TOOL_BY_PREFIX[step[0]]
-            lines = []
-            if rng.random_sample() < 0.25:
-                lines.append(FILLER[int(rng.randint(0, len(FILLER)))])
-            lines.append(f"TOOL_CALL {tool} ARGS=step={step},attempt={attempt}")
-            if attempt >= 2:
-                lines.append(f"RETEST {step} ATTEMPT={attempt}")
-            stepline = f"STEP {step} STATUS={status}"
-            pfx = step[0]
-            if pfx in "crlv":
-                lo, nom, hi = _limits(step, t, changed)
-                val = round(float(rng.normal(nom, nom * 0.08)), 4)
-                stepline += f" VALUE={_fmt(val)}"
-                if pfx == "v":
-                    stepline += f" LIM3={_fmt(nom)},{_fmt(hi)},{_fmt(lo)}"
-                else:
-                    stepline += f" LIM2={_fmt(hi)},{_fmt(lo)}"
-            lines.append(stepline)
-            if rng.random_sample() < 0.2:
-                lines.append(FILLER[int(rng.randint(0, len(FILLER)))])
-            emit("tool", "\n".join(lines), tool)
-            if rng.random_sample() < 0.10:
-                emit("assistant", FILLER[int(rng.randint(0, len(FILLER)))], None)
+    start = BASE_TS + timedelta(seconds=int(rng.randint(0, SPREAD_S)))
+    t = start
+    turn = 0
 
-        emit("assistant", f"test plan for {conv_id} complete", None)
+    def emit(role: str, text: str, tool: str | None) -> None:
+        nonlocal turn, t
+        buf.conv_ids.append(conv_id)
+        buf.turn_idxs.append(turn)
+        buf.roles.append(role)
+        buf.texts.append(text)
+        buf.tools.append(tool)
+        buf.tss.append(t)
+        turn += 1
+        t = t + timedelta(seconds=int(rng.randint(5, 90)))
 
-    transcripts = pa.table(
-        {
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "turn_idx": pa.array(turn_idxs, pa.int32()),
-            "role": pa.array(roles, pa.string()),
-            "text": pa.array(texts, pa.string()),
-            "tool": pa.array(tools, pa.string()),
-            "ts": pa.array(tss, pa.timestamp("us")),
-        }
-    )
+    emit("user", f"please run the test plan for {conv_id}", None)
+
+    # executions: run 1 all steps; failing steps retried (<=3 attempts)
+    executions: list[tuple[str, int, str]] = []
+    pending = [(s, 1) for s in run1]
+    while pending:
+        nxt: list[tuple[str, int]] = []
+        for step, attempt in pending:
+            r = rng.random_sample()
+            if attempt == 1:
+                status = "fail" if r < 0.10 else ("error" if r < 0.12 else "pass")
+            else:
+                status = "fail" if r < 0.25 else ("error" if r < 0.27 else "pass")
+            executions.append((step, attempt, status))
+            if status != "pass" and attempt < 3:
+                nxt.append((step, attempt + 1))
+        pending = nxt
+
+    for step, attempt, status in executions:
+        tool = TOOL_BY_PREFIX[step[0]]
+        lines = []
+        if rng.random_sample() < 0.25:
+            lines.append(FILLER[int(rng.randint(0, len(FILLER)))])
+        lines.append(f"TOOL_CALL {tool} ARGS=step={step},attempt={attempt}")
+        if attempt >= 2:
+            lines.append(f"RETEST {step} ATTEMPT={attempt}")
+        stepline = f"STEP {step} STATUS={status}"
+        pfx = step[0]
+        if pfx in "crlv":
+            lo, nom, hi = _limits(step, t, changed)
+            val = round(float(rng.normal(nom, nom * 0.08)), 4)
+            stepline += f" VALUE={_fmt(val)}"
+            if pfx == "v":
+                stepline += f" LIM3={_fmt(nom)},{_fmt(hi)},{_fmt(lo)}"
+            else:
+                stepline += f" LIM2={_fmt(hi)},{_fmt(lo)}"
+        lines.append(stepline)
+        if rng.random_sample() < 0.2:
+            lines.append(FILLER[int(rng.randint(0, len(FILLER)))])
+        emit("tool", "\n".join(lines), tool)
+        if rng.random_sample() < 0.10:
+            emit("assistant", FILLER[int(rng.randint(0, len(FILLER)))], None)
+
+    emit("assistant", f"test plan for {conv_id} complete", None)
+
+
+def _dims() -> dict[str, pa.Table]:
     td = tool_dim_rows()
     tool_dim = pa.table(
         {
@@ -238,11 +246,15 @@ def generate(sf_name: str) -> dict[str, pa.Table]:
             "weight": pa.array([r[2] for r in rd], pa.float64()),
         }
     )
-    return {"transcripts": transcripts, "tool_dim": tool_dim, "role_dim": role_dim}
+    return {"tool_dim": tool_dim, "role_dim": role_dim}
 
 
 def ensure(sf_name: str) -> str:
-    """Generate (once) and return the synthdata dir for a scale name."""
+    """Generate (once) and return the synthdata dir for a scale name.
+
+    transcripts are written as N_FILES part files (one parquet file would pin
+    the scan to a single Spark task); dims are single files.
+    """
     if sf_name not in SCALES:
         raise ValueError(f"unknown scale {sf_name!r}; known: {sorted(SCALES)}")
     out = os.path.join(SYNTH_ROOT, sf_name)
@@ -252,11 +264,37 @@ def ensure(sf_name: str) -> str:
             if json.load(f).get("gen_version") == GEN_VERSION:
                 return out
     os.makedirs(out, exist_ok=True)
-    tables = generate(sf_name)
-    for name, tbl in tables.items():
+    rng = np.random.RandomState(SEED + _crc(sf_name) % 1000)
+    pool = step_pool()
+    changed = limit_changes_steps(pool)
+    specs = _conv_specs(rng, SCALES[sf_name])
+    n_files = N_FILES[sf_name]
+    total_rows = 0
+    if n_files == 1:
+        buf = _Buf()
+        for conv_id, i in specs:
+            _gen_conv(rng, buf, conv_id, i, pool, changed)
+        tbl = buf.table()
+        total_rows = tbl.num_rows
+        pq.write_table(tbl, os.path.join(out, "transcripts.parquet"))
+    else:
+        ddir = os.path.join(out, "transcripts.parquet")
+        os.makedirs(ddir, exist_ok=True)
+        per = (len(specs) + n_files - 1) // n_files
+        buf = _Buf()
+        part = 0
+        for k, (conv_id, i) in enumerate(specs):
+            _gen_conv(rng, buf, conv_id, i, pool, changed)
+            if (k + 1) % per == 0 or k == len(specs) - 1:
+                tbl = buf.table()
+                total_rows += tbl.num_rows
+                pq.write_table(tbl, os.path.join(ddir, f"part-{part:04d}.parquet"))
+                buf = _Buf()
+                part += 1
+    for name, tbl in _dims().items():
         pq.write_table(tbl, os.path.join(out, f"{name}.parquet"))
     with open(meta_path, "w") as f:
-        json.dump({"gen_version": GEN_VERSION, "sf": sf_name, "rows": tables["transcripts"].num_rows}, f)
+        json.dump({"gen_version": GEN_VERSION, "sf": sf_name, "rows": total_rows}, f)
     return out
 
 
