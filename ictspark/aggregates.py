@@ -37,12 +37,19 @@ def with_attempt(steps: DataFrame) -> DataFrame:
 
 
 def runs(steps_a: DataFrame) -> DataFrame:
-    """Run grain (logfile analog): one row per (conv_id, attempt)."""
+    """Run grain (logfile analog): one row per (conv_id, attempt).
+
+    Carries final_fail (this run's contribution to the conv's after-retest
+    result) so every yield grain derives from THIS table alone — it is the
+    one intermediate worth materializing at scale (ReportSet does)."""
     return (
         steps_a.groupBy("conv_id", "session_id", "board_idx", "attempt")
         .agg(
             F.min("ts").alias("run_ts"),
             F.max(F.when(F.col("status") != "pass", 1).otherwise(0)).alias("any_fail"),
+            F.max(
+                F.when(F.col("is_last") & (F.col("status") != "pass"), 1).otherwise(0)
+            ).alias("final_fail"),
             F.count(F.lit(1)).alias("n_steps"),
         )
         .withColumn("result", F.when(F.col("any_fail") == 1, "fail").otherwise("pass"))
@@ -85,7 +92,7 @@ def _stack3(df: DataFrame, level: str, triples: list[tuple[str, str, str]]) -> D
     )
 
 
-def yields(steps_a: DataFrame) -> DataFrame:
+def yields(steps_a: DataFrame, materialize: bool = True) -> DataFrame:
     """A1 + A2: OK/NOK/pct at {conv, session} × {first, after_retest, total}.
 
     Reference grain mapping: labels FirstT/AfterRT/Total at main.rs:713-715
@@ -93,18 +100,23 @@ def yields(steps_a: DataFrame) -> DataFrame:
 
     Plan shape: steps → run_grain (cached: three downstream grains reuse it
     without recompute; at production scale this is the persisted `runs` table)
-    → conv grain (cached) → tiny global rollups.
+    → conv grain (cached) → tiny global rollups. materialize=False skips the
+    caches (used by the scaling bench to keep per-run work constant).
     """
-    ca = run_grain(steps_a).persist()
-    conv = (
-        ca.groupBy("session_id", "conv_id")
-        .agg(
-            F.max(F.when(F.col("attempt") == 1, F.col("any_fail"))).alias("first_fail"),
-            F.max("final_fail").alias("final_fail"),
-            F.count(F.lit(1)).alias("n_runs"),
-            F.sum("any_fail").alias("nok_runs"),
-        )
-        .persist()
+    ca = run_grain(steps_a)
+    if materialize:
+        ca = ca.persist()
+    return yields_from_run_grain(ca)
+
+
+def yields_from_run_grain(ca: DataFrame) -> DataFrame:
+    """Yield grains from an (already materialized) run-grain table — any df
+    with (session_id, conv_id, attempt, any_fail, final_fail)."""
+    conv = ca.groupBy("session_id", "conv_id").agg(
+        F.max(F.when(F.col("attempt") == 1, F.col("any_fail"))).alias("first_fail"),
+        F.max("final_fail").alias("final_fail"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("any_fail").alias("nok_runs"),
     )
     conv_row = conv.agg(
         F.sum(1 - F.col("first_fail")).alias("ok_first"),
@@ -269,3 +281,22 @@ def first_fail(steps_a: DataFrame) -> DataFrame:
         .where("rn = 1")
         .select("conv_id", "step", "turn_idx", fmt_ts("ts"))
     )
+
+
+EXPORT_STEPS = ["c905", "r210", "v463"]  # Manual-mode list analog ("c613 r412 v605%ON", locals.rs:66)
+
+
+def export_matrix(steps_a: DataFrame, steps: list[str] | None = None, only_failed: bool = False) -> DataFrame:
+    """Export pivot (SURVEY F8/F9 + main.rs:1308-1319): one row per conv,
+    one column per selected step, value = final attempt's measurement.
+    only_failed = the reference's only_failed_panels row filter."""
+    steps = steps or EXPORT_STEPS
+    base = steps_a.where(F.col("step").isin(steps) & F.col("is_last"))
+    if only_failed:
+        bad = conv_final(steps_a).where("any_fail = 1").select("conv_id")
+        base = base.join(bad, "conv_id", "left_semi")
+    p = base.groupBy("conv_id").pivot("step", steps).agg(F.max("value"))
+    for s in steps:
+        safe = "val_" + "".join(c if c.isalnum() else "_" for c in s.lower())
+        p = p.withColumnRenamed(s, safe)
+    return p

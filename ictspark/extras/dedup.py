@@ -1,0 +1,151 @@
+"""Deduplication operators for a training-data pipeline over `documents`.
+
+Four families (exact, MinHash+LSH, SimHash, n-gram Jaccard), each expressed in
+built-in DataFrame ops so the DuckDB oracle can run the same math:
+
+- hashes are md5 hex strings (identical in both engines); MinHash uses the
+  *lexicographic min* of salted md5 strings — engine-portable, no integer
+  hash-function mismatch;
+- SimHash bits come from md5 hex-nibble parity, combined with bit_count/xor
+  (both engines);
+- the O(n²) verification joins are the small-scale baseline; the LSH band
+  bucket-join IS the scale path (candidates only, no cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token")
+    ).where(F.col("token") != "")
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (n=3)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = _tokens(documents)
+    return (
+        t.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text: hash-groupBy, keep min doc_id."""
+    return (
+        documents.groupBy(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Pairwise word-3-gram Jaccard ≥ threshold (brute-force verification path)."""
+    sh = shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+    )
+    return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+N_MINHASH = 12
+LSH_BANDS = 4  # rows per band = N_MINHASH / LSH_BANDS = 3
+
+
+def minhash_signatures(documents: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """k MinHash values per doc: lexicographic min of salted md5(shingle)."""
+    sh = shingles(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = N_MINHASH, bands: int = LSH_BANDS, threshold: float = 0.2
+) -> DataFrame:
+    """MinHash+LSH near-dup: band bucket-join for candidates (the scale path —
+    no cross join), then estimated Jaccard = matching-minhash fraction."""
+    r = k // bands
+    sig = minhash_signatures(documents, k)
+    buckets = None
+    for band in range(bands):
+        cols = [f"mh{i}" for i in range(band * r, (band + 1) * r)]
+        part = sig.select(
+            "doc_id", F.lit(band).alias("band"), F.concat_ws("|", *cols).alias("bkey")
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    est = F.round(
+        sum(
+            F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0) for i in range(k)
+        )
+        / F.lit(float(k)),
+        4,
+    )
+    out = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+    return out.where(F.col("est_jaccard") >= threshold)
+
+
+N_SIMHASH_BITS = 16
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """16-bit SimHash from md5 hex-nibble parity of distinct tokens."""
+    t = _tokens(documents).select("doc_id", "token").distinct()
+    t = t.withColumn("h", F.md5("token"))
+    # bit j = parity of hex digit j of md5(token), summed ±1 over tokens
+    aggs = []
+    for j in range(N_SIMHASH_BITS):
+        nib = F.expr(f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1")
+        aggs.append(
+            (F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)) > 0).cast("int").alias(f"b{j}")
+        )
+    sig = t.groupBy("doc_id").agg(*aggs)
+    combined = sum(F.col(f"b{j}") * F.lit(2**j) for j in range(N_SIMHASH_BITS))
+    return sig.select("doc_id", combined.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ max_hamming (bit_count/xor)."""
+    s = simhash(documents)
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Generic operator queries over the driver-provided TPC-H-ish tables
+(TESTDATA.md) — join/agg/window/shift coverage mirroring reference ops
+(W5 shift buckets main.rs:567-581; 06:00 day window daily_yield.rs:203-214)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ictspark import io
+from ictspark.aggregates import TS_FMT
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = io.load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), TS_FMT).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+def events_shift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift buckets 6-14 / 14-22 / 22-6 (main.rs:567-581)."""
+    e = io.load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    shift = (
+        F.when((h >= 6) & (h < 14), "shift_a")
+        .when((h >= 14) & (h < 22), "shift_b")
+        .otherwise("shift_c")
+    )
+    return e.groupBy(shift.alias("shift")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+    )
+
+
+def events_day_0600(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """06:00→06:00 report day (daily_yield.rs:203-214)."""
+    e = io.load_table(spark, sf_dir, "events")
+    day = F.date_format(
+        F.date_trunc("day", F.col("ts") - F.expr("INTERVAL 6 HOURS")), "yyyy-MM-dd"
+    )
+    return e.groupBy(day.alias("shifted_day")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def tpch_q1like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + deterministic top-10."""
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice").cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )

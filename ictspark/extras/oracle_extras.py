@@ -1,0 +1,239 @@
+"""DuckDB oracle SQL for the training-data extras and driver-table operator
+queries. `documents`/`embeddings`/`events`/TPC-H tables are pre-registered
+views in the driver's DuckDB; media/transcripts are read by absolute path.
+"""
+
+from __future__ import annotations
+
+from ictspark.extras.dedup import LSH_BANDS, N_MINHASH, N_SIMHASH_BITS
+from ictspark.extras.textstats import STOPWORDS, TOKEN_RE
+
+_TSF = "%Y-%m-%d %H:%M:%S"
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, pos, token FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)"""
+
+_SHINGLES = _TOKS + """,
+sh AS (
+  SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM toks
+  ) WHERE t2 IS NOT NULL
+)"""
+
+
+def _minhash_sig() -> str:
+    cols = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(N_MINHASH)
+    )
+    return f"sig AS (SELECT doc_id, {cols} FROM sh GROUP BY 1)"
+
+
+def _simhash_sig() -> str:
+    bits = []
+    for j in range(N_SIMHASH_BITS):
+        nib = f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+        bits.append(
+            f"CASE WHEN SUM(CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b{j}"
+        )
+    combine = " + ".join(f"b{j} * {2**j}" for j in range(N_SIMHASH_BITS))
+    return f"""
+td AS (SELECT DISTINCT doc_id, token FROM toks),
+th AS (SELECT doc_id, md5(token) AS h FROM td),
+bits AS (SELECT doc_id, {", ".join(bits)} FROM th GROUP BY 1),
+sig AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits)"""
+
+
+def extras_oracles(transcripts_path: str, media_path: str) -> dict[str, str]:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    q: dict[str, str] = {}
+
+    q["doc_stats"] = f"""
+WITH {_TOKS},
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN token IN ({sw}) THEN 1 ELSE 0 END) AS BIGINT) AS sw
+  FROM toks GROUP BY 1
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, a.n_tokens,
+       CAST(len(regexp_extract_all(lower(d.text), '{TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+       ROUND(a.sw * 1.0 / a.n_tokens, 4) AS stopword_ratio,
+       ROUND(length(d.text) * 1.0 / a.n_tokens, 4) AS avg_token_len
+FROM documents d JOIN agg a USING (doc_id)"""
+
+    q["quality_score"] = f"""
+WITH {_TOKS},
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN token IN ({sw}) THEN 1 ELSE 0 END) AS BIGINT) AS sw
+  FROM toks GROUP BY 1
+),
+s AS (
+  SELECT d.doc_id, a.n_tokens,
+         a.sw * 1.0 / a.n_tokens AS stopword_ratio,
+         length(d.text) * 1.0 / a.n_tokens AS avg_token_len
+  FROM documents d JOIN agg a USING (doc_id)
+)
+SELECT doc_id,
+       ROUND(least(n_tokens / 50.0, 1.0) * 0.5
+             + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN avg_token_len > 3 AND avg_token_len < 12 THEN 0.2 ELSE 0.0 END,
+             4) AS quality
+FROM s"""
+
+    q["fingerprint"] = """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"""
+
+    q["dedup_exact"] = """
+SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM documents GROUP BY 1"""
+
+    q["ngram_jaccard_pairs"] = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) >= 0.2"""
+
+    r = N_MINHASH // LSH_BANDS
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b, key=" || '|' || ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
+        )
+        for b in range(LSH_BANDS)
+    )
+    est = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))
+    q["minhash_lsh_pairs"] = f"""
+WITH {_SHINGLES},
+{_minhash_sig()},
+buckets AS (
+  {band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, ROUND(({est}) / {float(N_MINHASH)}, 4) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+)
+SELECT * FROM scored WHERE est_jaccard >= 0.2"""
+
+    q["simhash_pairs"] = f"""
+WITH {_TOKS},
+{_simhash_sig()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+
+    _NORM = """
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS norm FROM e)"""
+
+    q["ann_bruteforce"] = f"""
+WITH {_NORM},
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         ROUND(list_inner_product(q.v, c.v) / (q.norm * c.norm), 6) AS sim
+  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 5"""
+
+    bucket = " || ".join(
+        f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+    )
+    q["ann_bucketed"] = f"""
+WITH {_NORM},
+nb AS (SELECT *, {bucket} AS bucket FROM n),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         ROUND(list_inner_product(q.v, c.v) / (q.norm * c.norm), 6) AS sim
+  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM cand
+) WHERE rank <= 3"""
+
+    q["embedding_dup_pairs"] = f"""
+WITH {_NORM}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) AS sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.35"""
+
+    q["media_stats"] = f"""
+SELECT media_type, COUNT(*) AS n,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       ROUND(AVG(octet_length(payload)), 4) AS avg_bytes,
+       CAST(SUM(CASE WHEN width IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_dims
+FROM read_parquet('{media_path}') GROUP BY 1"""
+
+    q["frame_sample_plan"] = f"""
+SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 30)) AS INT) AS frame_idx
+FROM (
+  SELECT media_id, CAST(duration_s * fps AS INT) AS n_frames
+  FROM read_parquet('{media_path}') WHERE media_type = 'video'
+)"""
+
+    # ------------------------- driver-table operator queries -------------------------
+
+    q["events_hourly"] = f"""
+SELECT strftime(date_trunc('hour', ts), '{_TSF}') AS hour, event_type,
+       COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    q["events_shift_buckets"] = """
+SELECT CASE WHEN EXTRACT(hour FROM ts) >= 6 AND EXTRACT(hour FROM ts) < 14 THEN 'shift_a'
+            WHEN EXTRACT(hour FROM ts) >= 14 AND EXTRACT(hour FROM ts) < 22 THEN 'shift_b'
+            ELSE 'shift_c' END AS shift,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY 1"""
+
+    q["events_day_0600"] = f"""
+SELECT strftime(date_trunc('day', ts - INTERVAL 6 HOUR), '%Y-%m-%d') AS shifted_day,
+       COUNT(*) AS n
+FROM events GROUP BY 1"""
+
+    q["tpch_q1like"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2"""
+
+    q["top_customers"] = """
+SELECT c_custkey, c_name, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 10"""
+
+    return q

@@ -213,3 +213,29 @@ SELECT COUNT(*) AS n_turns,
 FROM re JOIN t ON t.conv_id = re.conv_id AND t.turn_idx = re.turn_idx"""
 
     return q
+
+
+def _export_cols(steps: list[str]) -> str:
+    cols = []
+    for s in steps:
+        safe = "val_" + "".join(c if c.isalnum() else "_" for c in s.lower())
+        cols.append(f"MAX(CASE WHEN step = '{s}' THEN \"value\" END) AS {safe}")
+    return ", ".join(cols)
+
+
+def export_oracles(transcripts_path: str, tool_dim_path: str, steps: list[str]) -> dict[str, str]:
+    p = _prefix(transcripts_path, tool_dim_path)
+    inlist = ", ".join(f"'{s}'" for s in steps)
+    cols = _export_cols(steps)
+    q = {}
+    q["export_matrix"] = p + f"""
+SELECT conv_id, {cols}
+FROM steps_a WHERE step IN ({inlist}) AND is_last
+GROUP BY 1"""
+    q["export_matrix_failed"] = p + f"""
+SELECT conv_id, {cols}
+FROM steps_a
+WHERE step IN ({inlist}) AND is_last
+  AND conv_id IN (SELECT conv_id FROM conv_final WHERE any_fail = 1)
+GROUP BY 1"""
+    return q

@@ -1,0 +1,115 @@
+"""End-to-end pipeline orchestration (SURVEY.md §3.1 "Spark translation").
+
+ReportSet materializes the three shared intermediates exactly once —
+
+    steps_a  (parse + attempt windows, the per-measurement table)
+    runs     (per (conv, attempt) — the reference's per-logfile record)
+    fails    (failing executions only, ~10-15% of steps)
+
+— and derives every report from the smallest sufficient one. This mirrors the
+reference's design (update() computes all derived stats from one in-memory
+collection, main.rs:420) and is the scale-correct shape: each report then
+costs ONE aggregation over an already-materialized, much smaller input instead
+of re-running parse + windows per report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ictspark import aggregates as A
+from ictspark import enrich, parse
+
+
+class ReportSet:
+    def __init__(self, transcripts: DataFrame, tool_dim: DataFrame) -> None:
+        self.tool_dim = tool_dim
+        self.steps_a = A.with_attempt(parse.parse_steps(transcripts)).persist()
+        self.runs = A.runs(self.steps_a).persist()
+        self.fails = self.steps_a.where(F.col("status") != "pass").persist()
+
+    def materialize(self) -> dict[str, int]:
+        return {
+            "steps": self.steps_a.count(),
+            "runs": self.runs.count(),
+            "fails": self.fails.count(),
+        }
+
+    # --- reports over `runs` (tiny) ---
+
+    def yields(self) -> DataFrame:
+        return A.yields_from_run_grain(self.runs)
+
+    def hourly_stats(self) -> DataFrame:
+        r = self.runs
+        return r.groupBy(
+            F.date_format(F.date_trunc("hour", "run_ts"), A.TS_FMT).alias("hour")
+        ).agg(
+            F.sum(F.when(F.col("any_fail") == 0, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("any_fail") == 1, 1).otherwise(0)).alias("nok"),
+        )
+
+    def mb_results(self) -> DataFrame:
+        return (
+            self.runs.groupBy("session_id", "attempt")
+            .agg(
+                F.date_format(F.min("run_ts"), A.TS_FMT).alias("run_ts"),
+                F.max("any_fail").alias("any_fail"),
+            )
+            .withColumn("result", F.when(F.col("any_fail") == 1, "fail").otherwise("pass"))
+            .drop("any_fail")
+        )
+
+    # --- reports over `fails` (small) ---
+
+    def failure_counts(self) -> DataFrame:
+        return A.failure_counts(self._fails_modes_input())
+
+    def failures_by_index(self) -> DataFrame:
+        return A.failures_by_index(self._fails_modes_input())
+
+    def first_fail(self) -> DataFrame:
+        return A.first_fail(self.fails)
+
+    def failed_boards(self) -> DataFrame:
+        per_run = self.fails.groupBy("conv_id", "attempt").agg(
+            F.array_join(F.array_sort(F.collect_set("step")), ", ").alias("failed_steps")
+        )
+        return per_run.join(
+            self.runs.select("conv_id", "attempt", F.date_format("run_ts", A.TS_FMT).alias("run_ts")),
+            ["conv_id", "attempt"],
+        ).select("conv_id", "attempt", "run_ts", "failed_steps")
+
+    def _fails_modes_input(self) -> DataFrame:
+        return self.fails
+
+    # --- reports over `steps_a` ---
+
+    def limit_changes(self) -> DataFrame:
+        return A.limit_changes(self.steps_a)
+
+    def route_counts(self) -> DataFrame:
+        return enrich.enrich_steps(self.steps_a, self.tool_dim).groupBy("route_key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def enriched(self) -> DataFrame:
+        return enrich.enrich_steps(self.steps_a, self.tool_dim)
+
+    def all_reports(self) -> dict[str, DataFrame]:
+        return {
+            "yields": self.yields(),
+            "failure_counts": self.failure_counts(),
+            "failures_by_index": self.failures_by_index(),
+            "hourly_stats": self.hourly_stats(),
+            "mb_results": self.mb_results(),
+            "limit_changes": self.limit_changes(),
+            "first_fail": self.first_fail(),
+            "failed_boards": self.failed_boards(),
+            "route_counts": self.route_counts(),
+        }
+
+    def unpersist(self) -> None:
+        for df in (self.steps_a, self.runs, self.fails):
+            df.unpersist()

@@ -310,3 +310,59 @@ if __name__ == "__main__":
         d = ensure(sf)
         with open(os.path.join(d, "_meta.json")) as f:
             print(sf, json.load(f))
+
+
+# ---------------------------------------------------------------- media ----
+
+MEDIA_VERSION = 1
+N_MEDIA = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000, "sf1": 3000}
+
+
+def ensure_media(sf_name: str) -> str:
+    """Deterministic multimodal table: opaque binary payloads + typed metadata.
+    Independent versioning so transcripts need no regeneration."""
+    import hashlib
+
+    out = os.path.join(SYNTH_ROOT, sf_name)
+    os.makedirs(out, exist_ok=True)
+    meta_path = os.path.join(out, "_media_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("media_version") == MEDIA_VERSION:
+                return out
+    n = N_MEDIA.get(sf_name, 60)
+    ids, types, payloads, widths, heights, fpss, durs, srs = [], [], [], [], [], [], [], []
+    for i in range(n):
+        mt = ["image", "audio", "video"][i % 3]
+        size = 256 + (i * 37) % 2048
+        # deterministic pseudo-payload: md5 chain
+        chunks = []
+        seed = f"media-{sf_name}-{i}".encode()
+        while sum(len(c) for c in chunks) < size:
+            seed = hashlib.md5(seed).digest()
+            chunks.append(seed)
+        payload = b"".join(chunks)[:size]
+        ids.append(i)
+        types.append(mt)
+        payloads.append(payload)
+        widths.append(64 + (i % 8) * 32 if mt in ("image", "video") else None)
+        heights.append(64 + (i % 5) * 32 if mt in ("image", "video") else None)
+        fpss.append(24 if mt == "video" else None)
+        durs.append(round(1.0 + (i % 30) / 3.0, 2) if mt in ("audio", "video") else None)
+        srs.append(16000 if mt == "audio" else None)
+    tbl = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "fps": pa.array(fpss, pa.int32()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "sample_rate": pa.array(srs, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "media.parquet"))
+    with open(meta_path, "w") as f:
+        json.dump({"media_version": MEDIA_VERSION, "rows": n}, f)
+    return out

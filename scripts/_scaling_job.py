@@ -1,0 +1,95 @@
+"""One scaling measurement at a given parallelism: the production-shaped
+pipeline (ictspark.pipeline.ReportSet) in three phases —
+
+  A. materialize: scan → parse → windows → persist steps/runs/fails
+  B. reports: all nine yield-report aggregates off the materialized tables,
+     reduced to checksums, ONE action
+  C. route: fan-out write of the enriched steps
+
+Each phase repeated `reps` times with a fresh plan; best (min) taken — the
+host is a noisy shared VM, so min approximates true cost. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ictspark import io
+from ictspark import route as R
+from ictspark.pipeline import ReportSet
+from ictspark.session import get_spark
+
+
+def checksum(name: str, df: DataFrame) -> DataFrame:
+    cols = ", ".join(f"cast(`{c}` as string)" for c in df.columns)
+    h = F.expr(f"bit_xor(xxhash64({cols}))")  # order-insensitive, overflow-free
+    return df.agg(F.lit(name).alias("report"), F.count(F.lit(1)).alias("n"), h.alias("checksum"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    cpus = int(sys.argv[2])
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    spark = get_spark(cpus=cpus, app=f"ictspark-scaling-{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
+
+    t = io.load_transcripts(spark, sf_dir)
+    tool_dim, _ = io.load_dims(spark, sf_dir)
+    n_turns = t.count()
+
+    mat, rep, wrt = [], [], []
+    for i in range(reps + 1):  # +1 warmup round (codegen), excluded
+        rs = ReportSet(t, tool_dim)
+        t0 = time.time()
+        rs.materialize()
+        a = time.time() - t0
+
+        out = None
+        for name, df in rs.all_reports().items():
+            c = checksum(name, df)
+            out = c if out is None else out.unionByName(c)
+        t0 = time.time()
+        out.collect()
+        b = time.time() - t0
+
+        tmp = tempfile.mkdtemp(prefix="ictspark_scale_")
+        t0 = time.time()
+        R.write_routed(rs.enriched(), f"{tmp}/routed", files_per_partition=max(1, cpus // 4))
+        c_ = time.time() - t0
+        shutil.rmtree(tmp, ignore_errors=True)
+        rs.unpersist()
+        if i > 0:
+            mat.append(round(a, 3))
+            rep.append(round(b, 3))
+            wrt.append(round(c_, 3))
+
+    best = min(ma + re_ + w for ma, re_, w in zip(mat, rep, wrt))
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "turns": n_turns,
+                "materialize_secs": mat,
+                "reports_secs": rep,
+                "write_secs": wrt,
+                "best_e2e": round(best, 3),
+                "turns_per_sec": round(n_turns / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,9 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark(cpus=8, shuffle_partitions=16)
     con = duckdb.connect()
+    # mimic the driver: driver tables pre-registered as views
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     qs, os_ = E.queries(), E.oracle_sql()
     failed = []
     for name, fn in qs.items():
