@@ -3,10 +3,9 @@
 aggregate pipeline on the synthesized transcripts matching $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) at local[$SPARK_GRAFT_CPUS], prints ONE JSON line.
 
-Headline metric: end-to-end pipeline seconds (parse once + all yield-report
-aggregates + route fan-out write), with per-stage splits and turns/sec — the
-BASELINE.json authoritative throughput metric. Scaling protocol (local[8] vs
-local[32]) lives in scripts/scaling.py → BENCH/BASELINE.md.
+Pipeline shape = ictspark.pipeline.ReportSet (parse once → materialize
+steps/runs/fails → nine yield-report aggregates → routed fan-out write), the
+same shape the scaling protocol measures (scripts/scaling.py → BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -22,9 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from ictspark import aggregates as A
-from ictspark import enrich, io, parse
+from ictspark import io, parse
 from ictspark import route as R
+from ictspark.pipeline import ReportSet
 from ictspark.session import get_spark
 
 
@@ -49,25 +48,28 @@ def main() -> None:
         fn()
         q[name] = round(time.time() - t0, 3)
 
-    # one shared parse (production shape: parse once, aggregate many — SURVEY §3.1)
-    sa = A.with_attempt(parse.parse_steps(t))
-    timed("parse_cache", lambda: sa.persist().count())
-    timed("yield_report", lambda: A.yields(sa).collect())
-    timed("failure_counts", lambda: A.failure_counts(sa).count())
-    timed("failures_by_index", lambda: A.failures_by_index(sa).count())
-    timed("hourly_stats", lambda: A.hourly_stats(sa).count())
-    timed("mb_results", lambda: A.mb_results(sa).count())
-    timed("limit_changes", lambda: A.limit_changes(sa).collect())
-    timed("first_fail", lambda: A.first_fail(sa).count())
-    timed("failed_boards", lambda: A.failed_boards(sa).count())
-    enriched = enrich.enrich_steps(sa, tool_dim)
-    timed("route_counts", lambda: enriched.groupBy("route_key").count().collect())
+    rs = ReportSet(t, tool_dim)
+    timed("materialize", rs.materialize)
+    timed("yield_report", lambda: rs.yields().collect())
+    timed("failure_counts", lambda: rs.failure_counts().count())
+    timed("failures_by_index", lambda: rs.failures_by_index().count())
+    timed("hourly_stats", lambda: rs.hourly_stats().count())
+    timed("mb_results", lambda: rs.mb_results().count())
+    timed("limit_changes", lambda: rs.limit_changes().collect())
+    timed("first_fail", lambda: rs.first_fail().count())
+    timed("failed_boards", lambda: rs.failed_boards().count())
+    timed("route_counts", lambda: rs.route_counts().collect())
     tmp = tempfile.mkdtemp(prefix="ictspark_bench_")
     try:
-        timed("route_write", lambda: R.write_routed(enriched, f"{tmp}/routed"))
+        timed(
+            "route_write",
+            lambda: R.write_routed(
+                rs.enriched(), f"{tmp}/routed", files_per_partition=max(1, cpus // 4)
+            ),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    sa.unpersist()
+    rs.unpersist()
     # cold single-pass parse with the Arrow UDF variant, for comparison
     timed("parse_arrow_variant", lambda: parse.parse_steps_arrow(t).count())
 

@@ -1,0 +1,83 @@
+"""spark-submit entry point: the deployable pipeline job.
+
+    spark-submit --py-files ictspark.zip ictspark/job.py batch \\
+        --transcripts <path-or-table> --tool-dim <path> --out <dir>
+
+Modes:
+  batch        full parse → enrich → route → aggregate; writes routed store +
+               report tables under --out
+  incremental  checkpointed day-partition ingest with lineage (resumable)
+
+On a cluster the same code runs unchanged: `--master` comes from spark-submit,
+and `ICTSPARK_FORMAT=iceberg` switches sinks to Iceberg tables (SURVEY §7 risk
+note — parquet layout is the offline-sandbox fallback with identical
+partitioning).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark():
+    # under spark-submit the session/master is provided by the launcher
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName("ictspark-job").getOrCreate()
+
+
+def cmd_batch(args: argparse.Namespace) -> None:
+    from ictspark import route as R
+    from ictspark.pipeline import ReportSet
+
+    spark = _spark()
+    t = spark.read.parquet(args.transcripts)
+    tool_dim = spark.read.parquet(args.tool_dim)
+    t0 = time.time()
+    rs = ReportSet(t, tool_dim)
+    counts = rs.materialize()
+    R.write_routed(rs.enriched(), os.path.join(args.out, "routed"), files_per_partition=args.files_per_partition)
+    for name, df in rs.all_reports().items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out, "reports", name))
+    print(
+        json.dumps(
+            {"mode": "batch", "counts": counts, "duration_s": round(time.time() - t0, 2)}
+        )
+    )
+
+
+def cmd_incremental(args: argparse.Namespace) -> None:
+    from ictspark import checkpoint as CK
+
+    spark = _spark()
+    t = spark.read.parquet(args.transcripts)
+    tool_dim = spark.read.parquet(args.tool_dim)
+    processed = CK.run_incremental(
+        spark, t, tool_dim, os.path.join(args.out, "routed"), args.checkpoint
+    )
+    print(json.dumps({"mode": "incremental", "partitions_processed": processed}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="ictspark-job")
+    sub = p.add_subparsers(dest="mode", required=True)
+    for name, fn in (("batch", cmd_batch), ("incremental", cmd_incremental)):
+        s = sub.add_parser(name)
+        s.add_argument("--transcripts", required=True)
+        s.add_argument("--tool-dim", required=True)
+        s.add_argument("--out", required=True)
+        s.add_argument("--files-per-partition", type=int, default=8)
+        if name == "incremental":
+            s.add_argument("--checkpoint", required=True)
+        s.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

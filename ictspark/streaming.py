@@ -1,0 +1,137 @@
+"""Structured Streaming variant of the AutoUpdate path (SURVEY.md §2.9).
+
+The reference's incremental mode is a hand-rolled 30 s-poll micro-batch loop
+(main.rs:247-310). Two Spark translations exist in this repo:
+
+1. incremental batch with checkpointed lineage (ictspark/checkpoint.py) — the
+   primary, resume-oriented path;
+2. THIS module: a true Structured Streaming pipeline for the same parse +
+   hourly-stats semantics, demonstrating watermarked windowed aggregation (T2:
+   the reference's `last_log − 5 s` overlap ≈ late-data allowance) and a
+   custom stateful operator (applyInPandasWithState) for streaming first-fail
+   attribution (W3).
+
+The parse stage (ictspark.parse.parse_steps) is stream-safe as-is: split /
+posexplode / regexp_extract are stateless row ops, so the SAME code runs in
+both modes — the batch/stream unification Spark promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ictspark import parse
+from ictspark.schema import TRANSCRIPTS
+
+
+def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a transcripts parquet directory."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def hourly_step_stats_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked 1 h tumbling window over parsed step executions:
+    pass/fail/error counts per (hour, status). Late rows beyond the watermark
+    are dropped — the streaming analog of the reference's bounded 5 s overlap."""
+    steps = parse.parse_steps(transcripts)
+    steps = steps.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return (
+        steps.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "status",
+            "n",
+        )
+    )
+
+
+FIRST_FAIL_STATE = StructType(
+    [
+        StructField("step", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("line_no", IntegerType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+FIRST_FAIL_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("step", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def first_fail_stream(transcripts: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per conv_id, keep the
+    earliest failing execution seen so far; emit the current champion whenever
+    it improves. Streaming analog of W3 first-fail attribution
+    (log_info_window.rs:26-33)."""
+    steps = parse.parse_steps(transcripts)
+    steps = steps.withColumn("ts", F.col("ts").cast(TimestampType()))
+    fails = steps.where(F.col("status") != "pass").select(
+        "conv_id", "step", "turn_idx", "line_no", "ts"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = state.get if state.exists else None  # (step, turn_idx, line_no, ts)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["turn_idx", "line_no"])
+            cand = pdf.iloc[0]
+            if best is None or (int(cand["turn_idx"]), int(cand["line_no"])) < (best[1], best[2]):
+                best = (str(cand["step"]), int(cand["turn_idx"]), int(cand["line_no"]), cand["ts"])
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "step": [best[0]],
+                    "turn_idx": [best[1]],
+                    "ts": [best[3]],
+                }
+            )
+
+    return fails.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=FIRST_FAIL_OUT,
+        stateStructType=FIRST_FAIL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str) -> list:
+    """Drain the stream with the availableNow trigger into an in-memory sink;
+    returns collected rows. Used by tests and the parity harness."""
+    name = "ictspark_stream_sink"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name).collect()

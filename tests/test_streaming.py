@@ -1,0 +1,59 @@
+"""Streaming variant: availableNow drain must reproduce the batch answers."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ictspark import io, parse, streaming
+from ictspark import aggregates as A
+
+
+@pytest.fixture(scope="module")
+def stream_src(smoke_dir, tmp_path_factory):
+    """File-source streams need a DIRECTORY; smoke scale is a single file."""
+    src = os.path.join(smoke_dir, "transcripts.parquet")
+    d = tmp_path_factory.mktemp("stream_src")
+    import shutil
+
+    shutil.copy(src, d / "part-0000.parquet")
+    return str(d)
+
+
+def test_hourly_stream_equals_batch(spark, stream_src, smoke_sf_dir):
+    s = streaming.read_transcript_stream(spark, stream_src)
+    agg = streaming.hourly_step_stats_stream(s)
+    with tempfile.TemporaryDirectory() as ck:
+        rows = streaming.run_available_now(agg, ck, output_mode="append")
+    got = {(r["hour"], r["status"]): r["n"] for r in rows}
+    steps = parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir))
+    exp = {
+        (r["hour"], r["status"]): r["n"]
+        for r in steps.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), A.TS_FMT).alias("hour"), "status"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # watermark may hold back only windows newer than max_ts - watermark; with
+    # availableNow + append, all closed windows emit. Compare the emitted set.
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+    # at most the trailing open windows may be withheld
+    assert len(exp) - len(got) <= 2
+
+
+def test_first_fail_stream_converges_to_batch(spark, stream_src, smoke_sf_dir):
+    s = streaming.read_transcript_stream(spark, stream_src)
+    ff = streaming.first_fail_stream(s)
+    with tempfile.TemporaryDirectory() as ck:
+        rows = streaming.run_available_now(ff, ck, output_mode="update")
+    # update mode can emit several improvements per conv; the LAST per conv is final
+    final = {}
+    for r in rows:
+        final[r["conv_id"]] = (r["step"], r["turn_idx"])
+    sa = A.with_attempt(parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir)))
+    exp = {r["conv_id"]: (r["step"], r["turn_idx"]) for r in A.first_fail(sa).collect()}
+    assert final == exp
