@@ -103,9 +103,11 @@ def run_incremental(
         t0 = time.time()
         # T4: dedupe makes overlap re-reads idempotent (newest-first ingest keeps
         # one row per (conv_id, turn_idx) — SURVEY O2)
-        day_rows = transcripts.where(
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd") == day
-        ).dropDuplicates(["conv_id", "turn_idx"])
+        from ictspark.io import dedupe_transcripts
+
+        day_rows = dedupe_transcripts(
+            transcripts.where(F.date_format(F.to_date("ts"), "yyyy-MM-dd") == day)
+        )
         # NOTE: no attempt ranking here — attempt is a conv-scoped window, and a
         # conv can span partition boundaries; ranking inside one day would be
         # wrong. The routed store holds per-row parse+enrich output only;

@@ -31,3 +31,17 @@ def load_dims(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver-provided TPC-H-ish table (TESTDATA.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dedupe_transcripts(df: DataFrame) -> DataFrame:
+    """Newest-wins dedupe on (conv_id, turn_idx) — the reference ingests
+    newest-first and its push-dedupe therefore keeps the newest copy
+    (main.rs:494-497, SURVEY O2). A deterministic window replaces
+    dropDuplicates' arbitrary tie-break."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("ts"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )

@@ -239,3 +239,34 @@ WHERE step IN ({inlist}) AND is_last
   AND conv_id IN (SELECT conv_id FROM conv_final WHERE any_fail = 1)
 GROUP BY 1"""
     return q
+
+
+def misc_oracles(transcripts_path: str, tool_dim_path: str) -> dict[str, str]:
+    p = _prefix(transcripts_path, tool_dim_path)
+    q = {}
+    q["conv_turn_stats"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}'))
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       COUNT(DISTINCT tool) AS n_tools
+FROM t GROUP BY 1"""
+    q["hourly_labeled"] = p + """
+, h AS (
+  SELECT date_trunc('hour', run_ts) AS h,
+         CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+         CAST(SUM(CASE WHEN any_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nok
+  FROM runs GROUP BY 1
+)
+SELECT strftime(h, '%y.%m.%d') || ' ' || strftime(h, '%H') || ':00 - ' || strftime(h, '%H') || ':59' AS timeframe,
+       strftime(h, '%H') || ':00 - ' || strftime(h, '%H') || ':59' AS hours,
+       ok, nok, ROUND(100.0 * ok / (ok + nok), 2) AS pct
+FROM h"""
+    q["step_units"] = p + """
+SELECT s.step, d.unit, COUNT(*) AS n,
+       ROUND(AVG(s."value"), 4) AS avg_value,
+       ROUND(MIN(s."value"), 4) AS min_value,
+       ROUND(MAX(s."value"), 4) AS max_value
+FROM steps_a s LEFT JOIN tool_dim d ON s.tool = d.tool
+WHERE s."value" IS NOT NULL
+GROUP BY 1, 2"""
+    return q
