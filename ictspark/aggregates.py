@@ -300,3 +300,24 @@ def export_matrix(steps_a: DataFrame, steps: list[str] | None = None, only_faile
         safe = "val_" + "".join(c if c.isalnum() else "_" for c in s.lower())
         p = p.withColumnRenamed(s, safe)
     return p
+
+
+def limit_change_points(steps_a: DataFrame) -> DataFrame:
+    """W7: WHERE each limit change happened — lag over ts per step
+    (main.rs:1322-1345 warns which tests changed; this localizes the change)."""
+    w = Window.partitionBy("step").orderBy("ts", "conv_id", "turn_idx", "line_no")
+    lim = F.struct("lo", "nom", "hi")
+    prev = F.lag(lim).over(w)
+    return (
+        steps_a.where(F.col("lo").isNotNull())
+        .withColumn("prev", prev)
+        .where(F.col("prev").isNotNull() & (F.col("prev") != lim))
+        .select(
+            "step",
+            fmt_ts("ts"),
+            F.col("prev.lo").alias("prev_lo"),
+            F.col("prev.hi").alias("prev_hi"),
+            "lo",
+            "hi",
+        )
+    )

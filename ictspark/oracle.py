@@ -270,3 +270,24 @@ FROM steps_a s LEFT JOIN tool_dim d ON s.tool = d.tool
 WHERE s."value" IS NOT NULL
 GROUP BY 1, 2"""
     return q
+
+
+def w7_oracles(transcripts_path: str, tool_dim_path: str) -> dict[str, str]:
+    p = _prefix(transcripts_path, tool_dim_path)
+    return {
+        "limit_change_points": p + f"""
+, lim AS (
+  SELECT step, ts, conv_id, turn_idx, line_no, lo, nom, hi,
+         lag(lo) OVER w AS prev_lo, lag(nom) OVER w AS prev_nom,
+         lag(hi) OVER w AS prev_hi,
+         COUNT(*) OVER (PARTITION BY step ORDER BY ts, conv_id, turn_idx, line_no
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM steps_a WHERE lo IS NOT NULL
+  WINDOW w AS (PARTITION BY step ORDER BY ts, conv_id, turn_idx, line_no)
+)
+SELECT step, strftime(ts, '{_TSF}') AS ts,
+       prev_lo, prev_hi, lo, hi
+FROM lim
+WHERE n_prev > 0
+  AND (prev_lo IS DISTINCT FROM lo OR prev_nom IS DISTINCT FROM nom OR prev_hi IS DISTINCT FROM hi)"""
+    }
