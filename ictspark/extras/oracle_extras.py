@@ -93,6 +93,14 @@ FROM s"""
     q["fingerprint"] = """
 SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"""
 
+    q["rolling_fingerprint"] = """
+SELECT doc_id, MIN(md5(substr(text, CAST(p AS INT), 8))) AS rfp
+FROM (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
+  FROM documents
+)
+GROUP BY 1"""
+
     q["dedup_exact"] = """
 SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
 FROM documents GROUP BY 1"""

@@ -87,3 +87,16 @@ def lang_id(documents: DataFrame) -> DataFrame:
         return low.map(score)
 
     return documents.select("doc_id", "lang", _pred(F.col("text")).alias("lang_pred"))
+
+
+def rolling_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): minimum md5 over
+    all k-char shingles — robust to local edits, unlike the whole-text md5.
+    Engine-portable: both Spark and DuckDB compute min(md5(substr(text,i,k)))."""
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
+    return (
+        documents.select("doc_id", "text", pos.alias("p"))
+        .select("doc_id", F.md5(F.expr(f"substring(text, p, {k})")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("rfp"))
+    )

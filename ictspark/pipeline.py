@@ -64,10 +64,10 @@ class ReportSet:
     # --- reports over `fails` (small) ---
 
     def failure_counts(self) -> DataFrame:
-        return A.failure_counts(self._fails_modes_input())
+        return A.failure_counts(self.fails)
 
     def failures_by_index(self) -> DataFrame:
-        return A.failures_by_index(self._fails_modes_input())
+        return A.failures_by_index(self.fails)
 
     def first_fail(self) -> DataFrame:
         return A.first_fail(self.fails)
@@ -80,9 +80,6 @@ class ReportSet:
             self.runs.select("conv_id", "attempt", F.date_format("run_ts", A.TS_FMT).alias("run_ts")),
             ["conv_id", "attempt"],
         ).select("conv_id", "attempt", "run_ts", "failed_steps")
-
-    def _fails_modes_input(self) -> DataFrame:
-        return self.fails
 
     # --- reports over `steps_a` ---
 
