@@ -321,3 +321,18 @@ def limit_change_points(steps_a: DataFrame) -> DataFrame:
             "hi",
         )
     )
+
+
+def daily_report(steps_a: DataFrame) -> DataFrame:
+    """Daily yield report day buckets: [D 06:00, D+1 06:00) per
+    daily_yield.rs:203-214 — per shifted day: ok/nok runs + pct."""
+    r = runs(steps_a)
+    day = F.date_format(F.col("run_ts") - F.expr("INTERVAL 6 HOURS"), "yyyy-MM-dd")
+    return (
+        r.groupBy(day.alias("report_day"))
+        .agg(
+            F.sum(F.when(F.col("any_fail") == 0, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("any_fail") == 1, 1).otherwise(0)).alias("nok"),
+        )
+        .withColumn("pct", F.round(100.0 * F.col("ok") / (F.col("ok") + F.col("nok")), 2))
+    )

@@ -250,6 +250,14 @@ SELECT conv_id, COUNT(*) AS n_turns,
        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
        COUNT(DISTINCT tool) AS n_tools
 FROM t GROUP BY 1"""
+    q["daily_report"] = p + """
+SELECT strftime(run_ts - INTERVAL 6 HOUR, '%Y-%m-%d') AS report_day,
+       CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+       CAST(SUM(CASE WHEN any_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nok,
+       ROUND(100.0 * CAST(SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 2) AS pct
+FROM runs GROUP BY 1"""
+
     q["hourly_labeled"] = p + """
 , h AS (
   SELECT date_trunc('hour', run_ts) AS h,

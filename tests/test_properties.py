@@ -59,3 +59,18 @@ def test_retest_counts_consistent(spark, smoke_sf_dir):
     assert rc.where(F.col("n_retest") >= F.col("n_exec")).count() == 0
     total_exec = rc.agg(F.sum("n_exec")).first()[0]
     assert total_exec == sa.count()
+
+
+def test_salted_agg_equals_plain_groupby(spark, smoke_sf_dir):
+    """Skew helper must be semantics-preserving: salted two-phase == plain agg."""
+    from ictspark.skew import conv_turn_stats
+
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    salted = conv_turn_stats(t, n_salts=8)
+    plain = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.countDistinct("tool").cast("long").alias("n_tools"),
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
