@@ -244,6 +244,14 @@ GROUP BY 1"""
 def misc_oracles(transcripts_path: str, tool_dim_path: str) -> dict[str, str]:
     p = _prefix(transcripts_path, tool_dim_path)
     q = {}
+    q["role_stats"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
+role_dim AS (SELECT * FROM read_parquet('{tool_dim_path.replace("tool_dim", "role_dim")}'))
+SELECT r.role_group, COUNT(*) AS n_turns,
+       ROUND(CAST(SUM(r.weight) AS DOUBLE), 2) AS weighted_turns
+FROM t LEFT JOIN role_dim r ON t.role = r.role
+GROUP BY 1"""
+
     q["conv_turn_stats"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{transcripts_path}'))
 SELECT conv_id, COUNT(*) AS n_turns,

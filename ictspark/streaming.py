@@ -135,3 +135,28 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str) -
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name).collect()
+
+
+def route_stream(transcripts: DataFrame, tool_dim: DataFrame) -> DataFrame:
+    """Streaming enrich + route columns: the fan-out sink is the writeStream
+    partitionBy — same layout as the batch router (route.py)."""
+    from ictspark import enrich
+    from ictspark.route import route_columns
+
+    steps = parse.parse_steps(transcripts)
+    steps = steps.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return route_columns(enrich.enrich_steps(steps, tool_dim))
+
+
+def run_route_stream(routed: DataFrame, out_dir: str, checkpoint: str) -> None:
+    """Drain the routed stream to the partitioned sink (availableNow)."""
+    q = (
+        routed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("route_key", "day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

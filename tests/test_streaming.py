@@ -57,3 +57,29 @@ def test_first_fail_stream_converges_to_batch(spark, stream_src, smoke_sf_dir):
     sa = A.with_attempt(parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir)))
     exp = {r["conv_id"]: (r["step"], r["turn_idx"]) for r in A.first_fail(sa).collect()}
     assert final == exp
+
+
+def test_route_stream_equals_batch(spark, stream_src, smoke_sf_dir):
+    """Streaming routed sink == batch routed output (per-sink counts + rows)."""
+    import tempfile
+
+    from ictspark import enrich
+    from ictspark.route import route_columns
+
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    s = streaming.read_transcript_stream(spark, stream_src)
+    routed = streaming.route_stream(s, tool_dim)
+    with tempfile.TemporaryDirectory() as d:
+        streaming.run_route_stream(routed, f"{d}/out", f"{d}/ck")
+        got = spark.read.parquet(f"{d}/out")
+        t = io.load_transcripts(spark, smoke_sf_dir)
+        exp = route_columns(enrich.enrich_steps(parse.parse_steps(t), tool_dim))
+        # streaming sink casts ts to TimestampType; compare on formatted ts
+        cols = [c for c in exp.columns if c not in ("ts", "day")]
+        g = got.select(*cols, F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+        e = exp.select(*cols, F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+        assert g.count() == e.count()
+        assert g.exceptAll(e).count() == 0
+        got_counts = {r["route_key"]: r["count"] for r in got.groupBy("route_key").count().collect()}
+        exp_counts = {r["route_key"]: r["count"] for r in exp.groupBy("route_key").count().collect()}
+        assert got_counts == exp_counts
