@@ -336,3 +336,35 @@ def daily_report(steps_a: DataFrame) -> DataFrame:
         )
         .withColumn("pct", F.round(100.0 * F.col("ok") / (F.col("ok") + F.col("nok")), 2))
     )
+
+
+def step_value_stats(steps_a: DataFrame) -> DataFrame:
+    """Per-step measurement statistics vs limits (the per-test plot view,
+    main.rs:1014-1083, summarized): n, mean, stddev, out-of-limit count, and
+    process-capability Cp/Cpk. Variance via explicit sum/sum-of-squares so the
+    DuckDB oracle computes the identical formula."""
+    v = steps_a.where(F.col("value").isNotNull() & F.col("lo").isNotNull())
+    agg = v.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
+        ).alias("n_out"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    sd = F.sqrt(var)
+    return agg.where(F.col("n") > 1).select(
+        "step",
+        "n",
+        F.round(mean, 2).alias("mean"),
+        F.round(sd, 2).alias("stddev"),
+        "n_out",
+        F.round((F.col("hi") - F.col("lo")) / (6 * sd), 2).alias("cp"),
+        F.round(
+            F.least(F.col("hi") - mean, mean - F.col("lo")) / (3 * sd), 2
+        ).alias("cpk"),
+    )

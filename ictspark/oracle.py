@@ -252,6 +252,21 @@ SELECT r.role_group, COUNT(*) AS n_turns,
 FROM t LEFT JOIN role_dim r ON t.role = r.role
 GROUP BY 1"""
 
+    q["step_value_stats"] = p + """
+, v AS (SELECT step, "value" AS x, lo, hi FROM steps_a WHERE "value" IS NOT NULL AND lo IS NOT NULL),
+a AS (
+  SELECT step, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS s1, CAST(SUM(x * x) AS DOUBLE) AS s2,
+         MIN(lo) AS lo, MAX(hi) AS hi,
+         CAST(SUM(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+  FROM v GROUP BY 1
+)
+SELECT step, n, ROUND(s1 / n, 2) AS mean,
+       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) AS stddev,
+       n_out,
+       ROUND((hi - lo) / (6 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cp,
+       ROUND(least(hi - s1 / n, s1 / n - lo) / (3 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cpk
+FROM a WHERE n > 1"""
+
     q["conv_turn_stats"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{transcripts_path}'))
 SELECT conv_id, COUNT(*) AS n_turns,
