@@ -69,3 +69,22 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
     )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame:
+    """Sessionization by inactivity gap (classic log-pipeline op): a new session
+    starts when a user's inter-event gap exceeds `gap_min` minutes. Window lag +
+    running sum — no stateful UDF needed."""
+    from pyspark.sql import Window
+
+    e = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_over = F.col("ts") > prev + F.expr(f"INTERVAL {gap_min} MINUTES")
+    marked = e.withColumn("new_sess", F.when(prev.isNull() | gap_over, 1).otherwise(0))
+    sess = marked.withColumn("sess_no", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT).alias("sess_start"),
+        F.date_format(F.max("ts"), TS_FMT).alias("sess_end"),
+    )

@@ -236,6 +236,21 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY 1, 2"""
 
+    q["events_sessionize"] = f"""
+WITH m AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_no
+  FROM m
+)
+SELECT user_id, sess_no, COUNT(*) AS n_events,
+       strftime(MIN(ts), '{_TSF}') AS sess_start,
+       strftime(MAX(ts), '{_TSF}') AS sess_end
+FROM s GROUP BY 1, 2"""
+
     q["top_customers"] = """
 SELECT c_custkey, c_name, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue,
        COUNT(*) AS n_orders

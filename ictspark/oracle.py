@@ -191,6 +191,19 @@ GROUP BY 1"""
 )
 SELECT called_tool, COUNT(*) AS n_calls FROM tc WHERE called_tool <> '' GROUP BY 1"""
 
+    q["tool_call_args_hist"] = p + """
+, tc AS (
+  SELECT regexp_extract(line, '^TOOL_CALL ([A-Za-z_][A-Za-z0-9_]*) ARGS=(.*)$', 1) AS called_tool,
+         regexp_extract(line, '^TOOL_CALL ([A-Za-z_][A-Za-z0-9_]*) ARGS=(.*)$', 2) AS args
+  FROM lines WHERE line LIKE 'TOOL_CALL %'
+),
+kv AS (
+  SELECT called_tool, unnest(string_split(args, ',')) AS pair
+  FROM tc WHERE called_tool <> ''
+)
+SELECT called_tool, split_part(pair, '=', 1) AS arg_key, COUNT(*) AS n
+FROM kv WHERE pair <> '' GROUP BY 1, 2"""
+
     q["retest_marker_parity"] = p + """
 , rm AS (
   SELECT conv_id, turn_idx, line_no,

@@ -195,3 +195,21 @@ def parse_steps_arrow(transcripts: DataFrame) -> DataFrame:
             )
 
     return transcripts.mapInArrow(_batches, STEPS)
+
+
+def parse_tool_call_args(transcripts: DataFrame) -> DataFrame:
+    """TOOL_CALL ARGS k=v pairs exploded to rows: (called_tool, arg_key, arg_val)."""
+    tc = parse_tool_calls(transcripts)
+    kv = tc.select(
+        "conv_id",
+        "turn_idx",
+        "called_tool",
+        F.explode(F.split("args", ",")).alias("pair"),
+    ).where(F.col("pair") != "")
+    return kv.select(
+        "conv_id",
+        "turn_idx",
+        "called_tool",
+        F.substring_index("pair", "=", 1).alias("arg_key"),
+        F.substring_index("pair", "=", -1).alias("arg_val"),
+    )

@@ -62,3 +62,20 @@ def read_routed(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
 def sink_counts(spark: SparkSession, path: str) -> DataFrame:
     """Per-sink row counts (routed-row parity check input)."""
     return read_routed(spark, path).groupBy("route_key").count().withColumnRenamed("count", "n")
+
+
+def compact_routed(spark: SparkSession, path: str, files_per_partition: int = 1) -> None:
+    """Compaction pass for the routed store: rewrite each (route_key, day)
+    partition into `files_per_partition` files (the small-files maintenance job
+    Iceberg's rewrite_data_files would run; parquet-layout equivalent).
+    Writes to a temp sibling then swaps atomically-ish via rename."""
+    import shutil
+    import uuid
+
+    df = read_routed(spark, path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    write_routed(df.drop("day"), tmp, files_per_partition=files_per_partition)
+    bak = path + "__old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)

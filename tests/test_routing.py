@@ -51,3 +51,28 @@ def test_partition_layout_prunes(spark, smoke_sf_dir):
         plan = one._jdf.queryExecution().executedPlan().toString()
         assert "alpha" in plan  # partition filter visible in the scan
         assert one.count() > 0
+
+
+def test_compaction_preserves_rows(spark, smoke_sf_dir):
+    """compact_routed rewrites partitions without changing content."""
+    import glob
+    import tempfile
+
+    sa = A.with_attempt(parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir)))
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    enriched = enrich.enrich_steps(sa, tool_dim)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/routed"
+        route.write_routed(enriched, path, files_per_partition=4)
+        before = route.read_routed(spark, path)
+        cols = sorted(before.columns)
+        snap = {tuple(r) for r in before.select(*cols).collect()}
+        files_before = len(glob.glob(f"{path}/*/*/*.parquet"))
+        route.compact_routed(spark, path, files_per_partition=1)
+        after = route.read_routed(spark, path)
+        got = {tuple(r) for r in after.select(*cols).collect()}
+        assert got == snap
+        files_after = len(glob.glob(f"{path}/*/*/*.parquet"))
+        # at smoke scale AQE may already coalesce to 1 file/partition; compaction
+        # must never INCREASE the file count
+        assert files_after <= files_before
