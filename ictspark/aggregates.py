@@ -368,3 +368,16 @@ def step_value_stats(steps_a: DataFrame) -> DataFrame:
             F.least(F.col("hi") - mean, mean - F.col("lo")) / (3 * sd), 2
         ).alias("cpk"),
     )
+
+
+def conv_reports(transcripts: DataFrame) -> DataFrame:
+    """Raw per-conv report reconstruction (get_report_for_SB analog,
+    log_info_window.rs:27-54): full conversation text, turns in order.
+    Point lookup = .where(conv_id = <dmc>) on top of this."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))), lambda x: x["text"]
+    )
+    return transcripts.groupBy("conv_id").agg(
+        F.concat_ws("\n\n", ordered).alias("report"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )

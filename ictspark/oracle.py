@@ -280,6 +280,13 @@ SELECT step, n, ROUND(s1 / n, 2) AS mean,
        ROUND(least(hi - s1 / n, s1 / n - lo) / (3 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cpk
 FROM a WHERE n > 1"""
 
+    q["conv_reports"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}'))
+SELECT conv_id,
+       string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS report,
+       COUNT(*) AS n_turns
+FROM t GROUP BY 1"""
+
     q["conv_turn_stats"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{transcripts_path}'))
 SELECT conv_id, COUNT(*) AS n_turns,
