@@ -381,3 +381,21 @@ def conv_reports(transcripts: DataFrame) -> DataFrame:
         F.concat_ws("\n\n", ordered).alias("report"),
         F.count(F.lit(1)).alias("n_turns"),
     )
+
+
+def export_matrix_final_run(steps_a: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Export variant matching the reference's only_final_logs EXACTLY
+    (main.rs:1277-1280): values come from each conv's FINAL RUN (highest
+    attempt rank), not from each step's own last attempt — steps absent from
+    the final run stay null, as the reference leaves them blank."""
+    steps = steps or EXPORT_STEPS
+    w = Window.partitionBy("conv_id")
+    final_run = steps_a.withColumn("max_attempt", F.max("attempt").over(w)).where(
+        F.col("attempt") == F.col("max_attempt")
+    )
+    base = final_run.where(F.col("step").isin(steps))
+    p = base.groupBy("conv_id").pivot("step", steps).agg(F.max("value"))
+    for s in steps:
+        safe = "val_" + "".join(c if c.isalnum() else "_" for c in s.lower())
+        p = p.withColumnRenamed(s, safe)
+    return p

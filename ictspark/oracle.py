@@ -245,6 +245,16 @@ def export_oracles(transcripts_path: str, tool_dim_path: str, steps: list[str]) 
 SELECT conv_id, {cols}
 FROM steps_a WHERE step IN ({inlist}) AND is_last
 GROUP BY 1"""
+    q["export_matrix_final_run"] = p + f"""
+, fr AS (
+  SELECT * FROM (
+    SELECT *, MAX(attempt) OVER (PARTITION BY conv_id) AS max_attempt FROM steps_a
+  ) WHERE attempt = max_attempt
+)
+SELECT conv_id, {cols}
+FROM fr WHERE step IN ({inlist})
+GROUP BY 1"""
+
     q["export_matrix_failed"] = p + f"""
 SELECT conv_id, {cols}
 FROM steps_a
