@@ -23,6 +23,9 @@ def mini(spark, tmp_path_factory):
         ("conv-9000-01", 2, "tool", "STEP v200 STATUS=pass VALUE=5.0000 LIM3=5.0000,6.0000,4.0000", "meas_voltage", "2024-03-01 10:02:00"),
         ("conv-9000-01", 3, "tool", "RETEST c100 ATTEMPT=2\nSTEP c100 STATUS=pass VALUE=1.2000 LIM2=2.0000,0.5000", "meas_capacitance", "2024-03-01 11:30:00"),
         ("conv-9000-02", 0, "tool", "STEP u300 STATUS=pass\nSTEP u300 STATUS=pass", "test_digital", "2024-03-01 10:05:00"),
+        # stepless conv: filler only — must not appear in any run-grain report
+        ("conv-9001-01", 0, "user", "just chatting, no test plan", None, "2024-03-01 12:00:00"),
+        ("conv-9001-01", 1, "assistant", "ok, STEPPING around the subject", None, "2024-03-01 12:01:00"),
     ]
     pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
@@ -66,3 +69,24 @@ def test_retest_marker_agrees(mini, spark):
     # the RETEST ATTEMPT=2 marker matches the computed rank
     r = mini.where("step = 'c100' and attempt = 2").first()
     assert r["is_last"] and r["status"] == "pass"
+
+
+def test_stepless_conv_excluded_from_runs(mini):
+    assert mini.where("conv_id = 'conv-9001-01'").count() == 0
+
+
+def test_stepless_conv_present_in_reports(spark, tmp_path_factory):
+    # conv_reports (raw text view) must still include it
+    import pandas as pd
+
+    from ictspark import aggregates as A2
+
+    rows = [("conv-9001-01", 0, "user", "hello", None, "2024-03-01 12:00:00")]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    p = str(tmp_path_factory.mktemp("mini2") / "t.parquet")
+    pdf.to_parquet(p)
+    t = spark.read.parquet(p)
+    r = A2.conv_reports(t).collect()
+    assert len(r) == 1 and r[0]["report"] == "hello"
