@@ -113,8 +113,14 @@ Sinks format: parquet directory layout (Iceberg runtime jar unavailable offline 
 SURVEY.md §7 risk note; writer is format-flagged via ICTSPARK_FORMAT).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    preserved = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if "<!-- PRESERVED -->" in old:
+            preserved = old.split("<!-- PRESERVED -->", 1)[1]
+    with open(out_path, "w") as f:
+        f.write(md + "\n<!-- PRESERVED -->" + preserved)
     print(json.dumps({"levels": {str(n): jobs[n]["turns_per_sec"] for n in levels}, "hw_rates": hw}))
 
 
