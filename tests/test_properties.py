@@ -74,3 +74,13 @@ def test_salted_agg_equals_plain_groupby(spark, smoke_sf_dir):
     )
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_sql_view_yield_matches_dataframe(spark, smoke_sf_dir):
+    """spark.sql over registered views == the DataFrame-API yield (conv/total)."""
+    from ictspark.sqlviews import yield_total_sql
+
+    got = yield_total_sql(spark, smoke_sf_dir).first()
+    sa = _steps_a(spark, smoke_sf_dir)
+    exp = A.yields(sa).where("level = 'conv' and grain = 'total'").first()
+    assert (got["ok"], got["nok"], got["pct"]) == (exp["ok"], exp["nok"], exp["pct"])
