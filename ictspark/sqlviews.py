@@ -26,7 +26,7 @@ YIELD_SQL = """
 SELECT 'conv' AS level, 'total' AS grain,
        SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) AS ok,
        SUM(CASE WHEN any_fail = 1 THEN 1 ELSE 0 END) AS nok,
-       ROUND(100.0 * SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) / COUNT(*), 2) AS pct
+       ROUND(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN any_fail = 0 THEN 1 ELSE 0 END) / COUNT(*), 2) AS pct
 FROM runs
 """
 
