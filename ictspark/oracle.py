@@ -290,6 +290,22 @@ SELECT step, n, ROUND(s1 / n, 2) AS mean,
        ROUND(least(hi - s1 / n, s1 / n - lo) / (3 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cpk
 FROM a WHERE n > 1"""
 
+    q["first_fail_reports"] = p + f"""
+, ff AS (
+  SELECT conv_id, step AS first_fail_step, turn_idx AS first_fail_turn, strftime(ts, '{_TSF}') AS ts
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, line_no) AS rn
+    FROM steps_a WHERE status <> 'pass'
+  ) WHERE rn = 1
+),
+rep AS (
+  SELECT conv_id, string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS report,
+         COUNT(*) AS n_turns
+  FROM t GROUP BY 1
+)
+SELECT ff.conv_id, ff.first_fail_step, ff.first_fail_turn, ff.ts, rep.report, rep.n_turns
+FROM ff JOIN rep ON ff.conv_id = rep.conv_id"""
+
     q["conv_reports"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{transcripts_path}'))
 SELECT conv_id,
