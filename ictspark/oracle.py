@@ -306,6 +306,34 @@ rep AS (
 SELECT ff.conv_id, ff.first_fail_step, ff.first_fail_turn, ff.ts, rep.report, rep.n_turns
 FROM ff JOIN rep ON ff.conv_id = rep.conv_id"""
 
+    q["dq_report"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
+f AS (
+  SELECT *,
+         lag(ts) OVER w AS prev_ts,
+         lag(turn_idx) OVER w AS prev_idx,
+         COUNT(*) OVER (PARTITION BY conv_id, turn_idx) AS key_n
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+a AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_conv_id,
+         CAST(SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_turn_idx,
+         CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+         CAST(SUM(CASE WHEN key_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_key_rows,
+         CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS ts_regressions,
+         CAST(SUM(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END) AS BIGINT) AS turn_idx_gaps,
+         CAST(SUM(CASE WHEN NOT regexp_matches(conv_id, '^.*-[0-9]{{2}}$') THEN 1 ELSE 0 END) AS BIGINT) AS malformed_conv_id
+  FROM f
+)
+SELECT 'null_conv_id' AS "check", null_conv_id AS n_bad, n_total FROM a
+UNION ALL SELECT 'null_turn_idx' AS "check", null_turn_idx AS n_bad, n_total FROM a
+UNION ALL SELECT 'null_ts' AS "check", null_ts AS n_bad, n_total FROM a
+UNION ALL SELECT 'dup_key_rows' AS "check", dup_key_rows AS n_bad, n_total FROM a
+UNION ALL SELECT 'ts_regressions' AS "check", ts_regressions AS n_bad, n_total FROM a
+UNION ALL SELECT 'turn_idx_gaps' AS "check", turn_idx_gaps AS n_bad, n_total FROM a
+UNION ALL SELECT 'malformed_conv_id' AS "check", malformed_conv_id AS n_bad, n_total FROM a"""
+
     q["conv_reports"] = f"""
 WITH t AS (SELECT * FROM read_parquet('{transcripts_path}'))
 SELECT conv_id,
