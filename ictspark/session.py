@@ -19,7 +19,12 @@ def get_spark(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+    # measured (BENCH): in single-JVM local mode 1× cores beats 2×/4× cores for
+    # shuffle partitions (per-partition map-output + AQE-decision overhead
+    # dominates at bench scales: 32 vs 64 partitions = 10.4s vs 16.3s at sf0.1).
+    # On a real multi-executor cluster set 2-3× total cores; AQE coalescing
+    # makes the higher initial count safe there.
+    shuffle_partitions = shuffle_partitions or max(cpus, 16)
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
