@@ -135,17 +135,43 @@ def simhash(documents: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 1) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ max_hamming (bit_count/xor)."""
+    """SimHash near-dup pairs: hamming distance ≤ max_hamming.
+
+    Scale shape (the 100 TB path): pigeonhole banding. The signature is split
+    into ``max_hamming + 1`` disjoint bit chunks; any pair within hamming
+    distance d ≤ max_hamming differs in at most d chunks, so at least one
+    chunk matches EXACTLY. Candidates therefore come from an equi-join on
+    (chunk_idx, chunk_value) — per-bucket shuffle, no cross/theta join — and
+    the exact hamming check on candidates makes the result identical to the
+    brute-force all-pairs definition (the DuckDB oracle still computes the
+    brute-force form, so the hash match proves the equivalence).
+    """
     s = simhash(documents)
-    a = s.alias("a")
-    b = s.alias("b")
-    ham = F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash")))
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-N_SIMHASH_BITS // n_chunks)  # ceil
+    mask = (1 << chunk_bits) - 1
+    buckets = None
+    for j in range(n_chunks):
+        cval = F.shiftright(F.col("simhash"), j * chunk_bits).bitwiseAND(F.lit(mask))
+        part = s.select(
+            "doc_id", "simhash", F.lit(j).alias("chunk"), cval.alias("cval")
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(ham <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
+        .distinct()
     )

@@ -78,18 +78,84 @@ def ann_bucketed(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-dup pairs (label-blocked to bound the join)."""
+SRP_ROWS = 2  # bits per band
+SRP_BANDS = 16  # OR-construction bands
+EMB_DIM = 64
+
+
+def _srp_weights(n_bits: int, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane weights from md5 parity (no RNG —
+    reproducible across runs/engines, per-bit independent)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{t}:{i}".encode()).hexdigest(), 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for t in range(n_bits)
+    ]
+
+
+def srp_band_keys(
+    vcol, rows: int = SRP_ROWS, bands: int = SRP_BANDS, dim: int = EMB_DIM
+) -> F.Column:
+    """Array of ``bands`` signed-random-projection band keys (each the concat
+    of ``rows`` sign bits, bit t = sign(h_t · v)). All built-in higher-order
+    functions — JVM-side, one projection computes every bit exactly once."""
+    bits = []
+    for w in _srp_weights(rows * bands, dim):
+        warr = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(vcol, warr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(dot >= 0, "1").otherwise("0"))
+    return F.array(*[F.concat(*bits[b * rows : (b + 1) * rows]) for b in range(bands)])
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    rows: int = SRP_ROWS,
+    bands: int = SRP_BANDS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold (same label).
+
+    Scale shape (the 100 TB path): SRP-LSH banded candidate generation. Each
+    vector gets ``rows × bands`` sign-of-random-projection bits; candidates are
+    pairs agreeing on ALL ``rows`` bits of at least one band — an equi-join on
+    (label, band, band_key), per-bucket shuffle, no cross/theta join. Exact
+    cosine verification on candidates keeps precision exact; recall is the LSH
+    OR-construction 1-(1-p^rows)^bands with p = 1 - θ/π. rows=2 × bands=16 is
+    sized for the demo threshold 0.35 (verified = brute force on the test
+    data — the DuckDB oracle still computes the brute-force label-blocked
+    form); production near-dup thresholds (≥ 0.8) allow far fewer bands.
+    """
     e = _with_norm(embeddings)
-    a, b = e.alias("a"), e.alias("b")
-    sim = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")), 6
+    buckets = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(srp_band_keys(F.col("v"), rows, bands)).alias("band", "bkey"),
     )
+    a, c = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("norm").alias("an"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "sim"
-        )
+        .select("vec_a", "vec_b", "sim")
     )

@@ -65,6 +65,59 @@ def test_ann_bruteforce_shape(emb):
     assert bad == 0
 
 
+def _assert_no_allpairs_join(df):
+    """The 100 TB guard: candidate generation must be an equi-join, never a
+    cartesian/theta join."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_pairs_bucketed_plan_and_parity(docs):
+    """Pigeonhole-banded simhash_pairs: no all-pairs join in the plan, and the
+    output equals the brute-force all-pairs definition (guaranteed by the
+    pigeonhole principle; asserted here against an in-test brute force)."""
+    pairs = dedup.simhash_pairs(docs, max_hamming=1)
+    _assert_no_allpairs_join(pairs)
+    s = dedup.simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+    got = {tuple(r) for r in pairs.collect()}
+    exp = {tuple(r) for r in brute.collect()}
+    assert got == exp
+    assert pairs.count() == len(got)  # no duplicate rows
+
+
+def test_embedding_dup_pairs_bucketed_plan_and_recall(emb):
+    """SRP-LSH embedding_dup_pairs: equi-join plan only, and full recall vs the
+    label-blocked brute force at this scale (sized by rows=2 × bands=16)."""
+    pairs = similarity.embedding_dup_pairs(emb)
+    _assert_no_allpairs_join(pairs)
+    e = similarity._with_norm(emb)
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(
+        similarity._dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")), 6
+    )
+    brute = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "sim")
+    )
+    got = {tuple(r) for r in pairs.collect()}
+    exp = {tuple(r) for r in brute.collect()}
+    assert got == exp
+
+
 def test_ann_bucketed_subset_of_bruteforce_space(emb):
     r = similarity.ann_bucketed(emb)
     assert r.where(F.col("rank") > 3).count() == 0
