@@ -228,6 +228,88 @@ FROM re JOIN t ON t.conv_id = re.conv_id AND t.turn_idx = re.turn_idx"""
     return q
 
 
+def product_oracles(transcripts_path: str, tool_dim_path: str) -> dict[str, str]:
+    """write_product composite (daily_yield.rs:82-169) per route_key."""
+    p = _prefix(transcripts_path, tool_dim_path)
+    es = """
+es AS (
+  SELECT s.*, COALESCE(d.route_key, 'misc') AS route_key
+  FROM steps_a s LEFT JOIN tool_dim d ON s.tool = d.tool
+)"""
+    pruns = es + f""",
+pruns AS (
+  SELECT route_key, conv_id, attempt, MIN(ts) AS run_ts,
+         MAX(CASE WHEN status <> 'pass' THEN 1 ELSE 0 END) AS any_fail,
+         COALESCE(string_agg(DISTINCT CASE WHEN status <> 'pass' THEN step END, ', '
+                             ORDER BY CASE WHEN status <> 'pass' THEN step END), '') AS failed_steps
+  FROM es GROUP BY 1, 2, 3
+)"""
+    q: dict[str, str] = {}
+
+    q["product_hourly"] = p + "," + pruns + f""",
+h AS (
+  SELECT route_key, strftime(date_trunc('hour', run_ts), '{_TSF}') AS hour,
+         CAST(SUM(1 - any_fail) AS BIGINT) AS ok,
+         CAST(SUM(any_fail) AS BIGINT) AS nok
+  FROM pruns GROUP BY 1, 2
+)
+SELECT route_key, hour, ok, nok FROM h
+UNION ALL
+SELECT route_key, 'TOTAL' AS hour, CAST(SUM(ok) AS BIGINT) AS ok, CAST(SUM(nok) AS BIGINT) AS nok
+FROM h GROUP BY 1"""
+
+    q["product_daily_failures"] = p + "," + es + """,
+allf AS (
+  SELECT route_key, step, COUNT(*) AS n_fail_all
+  FROM es WHERE status <> 'pass' GROUP BY 1, 2
+),
+art AS (
+  SELECT route_key, step, COUNT(*) AS n_fail_after_retest
+  FROM es WHERE status <> 'pass' AND is_last GROUP BY 1, 2
+),
+wide AS (
+  SELECT a.route_key, a.step, a.n_fail_all, r.n_fail_after_retest
+  FROM allf a LEFT JOIN art r ON a.route_key = r.route_key AND a.step = r.step
+)
+SELECT route_key, step, n_fail_all, n_fail_after_retest FROM wide
+UNION ALL
+SELECT route_key, 'TOTAL' AS step, CAST(SUM(n_fail_all) AS BIGINT) AS n_fail_all,
+       CAST(COALESCE(SUM(n_fail_after_retest), 0) AS BIGINT) AS n_fail_after_retest
+FROM wide GROUP BY 1"""
+
+    q["product_failed_boards"] = p + "," + pruns + f""",
+flagged AS (
+  SELECT *, MAX(any_fail) OVER (PARTITION BY route_key, conv_id) AS conv_any_fail FROM pruns
+)
+SELECT route_key,
+       CASE WHEN attempt = 1 THEN conv_id ELSE '' END AS dmc_display,
+       attempt,
+       strftime(run_ts, '{_TSF}') AS run_ts,
+       CASE WHEN any_fail = 1 THEN 'fail' ELSE 'pass' END AS result,
+       failed_steps
+FROM flagged WHERE conv_any_fail = 1"""
+
+    q["failed_boards_display"] = p + f""",
+pr AS (
+  SELECT conv_id, attempt, MIN(ts) AS run_ts,
+         MAX(CASE WHEN status <> 'pass' THEN 1 ELSE 0 END) AS any_fail,
+         COALESCE(string_agg(DISTINCT CASE WHEN status <> 'pass' THEN step END, ', '
+                             ORDER BY CASE WHEN status <> 'pass' THEN step END), '') AS failed_steps
+  FROM steps_a GROUP BY 1, 2
+),
+flagged AS (
+  SELECT *, MAX(any_fail) OVER (PARTITION BY conv_id) AS conv_any_fail FROM pr
+)
+SELECT CASE WHEN attempt = 1 THEN conv_id ELSE '' END AS dmc_display,
+       attempt,
+       strftime(run_ts, '{_TSF}') AS run_ts,
+       CASE WHEN any_fail = 1 THEN 'fail' ELSE 'pass' END AS result,
+       failed_steps
+FROM flagged WHERE conv_any_fail = 1"""
+
+    return q
+
+
 def _export_cols(steps: list[str]) -> str:
     cols = []
     for s in steps:

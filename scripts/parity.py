@@ -44,6 +44,7 @@ def main() -> int:
     os_.update(_O.export_oracles(_tp, _dp, _A.EXPORT_STEPS))
     os_.update(_O.misc_oracles(_tp, _dp))
     os_.update(_O.w7_oracles(_tp, _dp))
+    os_.update(_O.product_oracles(_tp, _dp))
     os_.update(_OX.extras_oracles(_tp, _os.path.join(_md, "media.parquet")))
     failed = []
     for name, fn in qs.items():
