@@ -6,16 +6,26 @@ scan from `last_log − 5 s`, dedupe on push, recompute stats
 *batch* over partition units with a checkpointed lineage log:
 
 - unit of work = one `day` partition (the reference's date-named log dirs);
-- `_lineage.jsonl` records one row per committed partition: rows, bytes-in
-  proxy, duration, wall time — the north_rule's "per-partition lineage +
-  metrics";
-- a partition is committed atomically AFTER its routed write succeeds; resume
-  skips committed partitions (no reprocessing), reprocesses anything else —
-  idempotent because each partition write is a full overwrite of that
+- `_lineage.jsonl` records one row per partition event: rows, duration, wall
+  time — the north_rule's "per-partition lineage + metrics". It is genuinely
+  append-only (O_APPEND + fsync per line), so an N-partition backfill is O(N)
+  file I/O;
+- a CLOSED partition is committed atomically AFTER its routed write succeeds;
+  resume skips committed partitions (no reprocessing), reprocesses anything
+  else — idempotent because each partition write is a full overwrite of that
   partition's directories and ingest dedupes on (conv_id, turn_idx) (T4);
-- the watermark-overlap semantics (T2: rescan from last_log − 5 s) are
-  subsumed: the most recent, still-open partition is simply not committed and
-  is rewritten on the next cycle.
+- the watermark-overlap semantics (T2: rescan from last_log − 5 s): the most
+  recent day present in the input is treated as STILL OPEN — it is written
+  every cycle but never committed, so rows that arrive for it later are picked
+  up by the next cycle's rewrite. Pass ``commit_open_day=True`` for a
+  known-complete backfill where the last day should close too. Committed days
+  are immutable by protocol: a row arriving for an already-committed day is
+  dropped (the reference likewise never re-reads files older than its
+  watermark overlap);
+- dedupe on (conv_id, turn_idx) runs ONCE over the whole uncommitted slice
+  (not per-day), so duplicate keys whose timestamps straddle an uncommitted
+  day boundary cannot double-count; the slice is persisted so the dedupe
+  window is computed once, not once per day.
 
 At cluster scale the same protocol runs with Iceberg: the routed write becomes
 an atomic REPLACE of the day partition and _lineage a table; the driver loop
@@ -37,7 +47,8 @@ from ictspark import aggregates as A
 
 
 class Lineage:
-    """Append-only per-partition commit log (atomic via write-temp + rename)."""
+    """Append-only per-partition event log (one JSON line per event; O_APPEND
+    + fsync — a single appended line is atomic at these sizes)."""
 
     def __init__(self, ck_dir: str) -> None:
         self.ck_dir = ck_dir
@@ -53,19 +64,22 @@ class Lineage:
     def committed(self) -> set[str]:
         return {e["partition"] for e in self.entries() if e.get("status") == "committed"}
 
+    def append(self, rec: dict) -> None:
+        line = (json.dumps(rec) + "\n").encode()
+        fd = os.open(self.path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+        try:
+            os.write(fd, line)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def commit(self, partition: str, **metrics) -> None:
-        rec = {"partition": partition, "status": "committed", "committed_at": time.time(), **metrics}
-        tmp = self.path + ".tmp"
-        lines = []
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                lines = f.readlines()
-        lines.append(json.dumps(rec) + "\n")
-        with open(tmp, "w") as f:
-            f.writelines(lines)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.path)
+        self.append({"partition": partition, "status": "committed", "at": time.time(), **metrics})
+
+    def mark_open(self, partition: str, **metrics) -> None:
+        """Record a write of the still-open partition (NOT a commit — it will
+        be rewritten next cycle)."""
+        self.append({"partition": partition, "status": "open", "at": time.time(), **metrics})
 
 
 def _routed_day_path(out_dir: str, day: str) -> str:
@@ -80,49 +94,61 @@ def run_incremental(
     ck_dir: str,
     fail_after: int | None = None,
     on_partition: Callable[[str], None] | None = None,
+    commit_open_day: bool = False,
 ) -> list[str]:
     """Process all uncommitted day partitions; returns the days processed.
 
-    fail_after=k aborts after k commits (test hook simulating a mid-run crash);
-    resume = call again with the same ck_dir.
+    The max day in the input is treated as still open (written, not
+    committed) unless commit_open_day=True. fail_after=k aborts after k
+    commits (test hook simulating a mid-run crash); resume = call again with
+    the same ck_dir.
     """
     lin = Lineage(ck_dir)
     done = lin.committed()
-    days = [
-        r["day"]
-        for r in transcripts.select(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
-        .distinct()
-        .orderBy("day")
-        .collect()
-    ]
+    t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+    days = [r["_day"] for r in t.select("_day").distinct().orderBy("_day").collect()]
+    open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
-    processed: list[str] = []
-    for i, day in enumerate(todo):
-        if fail_after is not None and i >= fail_after:
-            raise RuntimeError(f"injected failure before partition {day}")
-        t0 = time.time()
-        # T4: dedupe makes overlap re-reads idempotent (newest-first ingest keeps
-        # one row per (conv_id, turn_idx) — SURVEY O2)
-        from ictspark.io import dedupe_transcripts
+    if not todo:
+        return []
+    # T4: ONE dedupe over the whole uncommitted slice — duplicate
+    # (conv_id, turn_idx) keys cannot double-count across uncommitted day
+    # boundaries, and the window shuffle runs once, not once per day.
+    from ictspark.io import dedupe_transcripts
 
-        day_rows = dedupe_transcripts(
-            transcripts.where(F.date_format(F.to_date("ts"), "yyyy-MM-dd") == day)
-        )
-        # NOTE: no attempt ranking here — attempt is a conv-scoped window, and a
-        # conv can span partition boundaries; ranking inside one day would be
-        # wrong. The routed store holds per-row parse+enrich output only;
-        # windows/aggregates run at report time over the full store (the
-        # reference likewise recomputes all stats after each ingest batch,
-        # main.rs:691-694).
-        steps = parse.parse_steps(day_rows)
-        routed = enrich.enrich_steps(steps, tool_dim).repartition(F.col("route_key"))
-        path = _routed_day_path(out_dir, day)
-        n = routed.count()
-        routed.write.mode("overwrite").partitionBy("route_key").parquet(path)
-        lin.commit(day, rows=int(n), duration_s=round(time.time() - t0, 3))
-        processed.append(day)
-        if on_partition:
-            on_partition(day)
+    batch = dedupe_transcripts(t.where(F.col("_day").isin(todo))).persist()
+    processed: list[str] = []
+    n_commits = 0
+    try:
+        for day in todo:
+            if fail_after is not None and n_commits >= fail_after:
+                raise RuntimeError(f"injected failure before partition {day}")
+            t0 = time.time()
+            day_rows = batch.where(F.col("_day") == day).drop("_day")
+            # NOTE: no attempt ranking here — attempt is a conv-scoped window,
+            # and a conv can span partition boundaries; ranking inside one day
+            # would be wrong. The routed store holds per-row parse+enrich
+            # output only; windows/aggregates run at report time over the full
+            # store (the reference likewise recomputes all stats after each
+            # ingest batch, main.rs:691-694).
+            steps = parse.parse_steps(day_rows)
+            routed = enrich.enrich_steps(steps, tool_dim).repartition(F.col("route_key"))
+            path = _routed_day_path(out_dir, day)
+            routed.write.mode("overwrite").partitionBy("route_key").parquet(path)
+            # row count from the committed bytes (parquet footer metadata) —
+            # no second parse+enrich pass
+            n = spark.read.parquet(path).count()
+            metrics = {"rows": int(n), "duration_s": round(time.time() - t0, 3)}
+            if day == open_day:
+                lin.mark_open(day, **metrics)
+            else:
+                lin.commit(day, **metrics)
+                n_commits += 1
+            processed.append(day)
+            if on_partition:
+                on_partition(day)
+    finally:
+        batch.unpersist()
     return processed
 
 

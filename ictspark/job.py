@@ -57,7 +57,12 @@ def cmd_incremental(args: argparse.Namespace) -> None:
     t = spark.read.parquet(args.transcripts)
     tool_dim = spark.read.parquet(args.tool_dim)
     processed = CK.run_incremental(
-        spark, t, tool_dim, os.path.join(args.out, "routed"), args.checkpoint
+        spark,
+        t,
+        tool_dim,
+        os.path.join(args.out, "routed"),
+        args.checkpoint,
+        commit_open_day=args.commit_open_day,
     )
     print(json.dumps({"mode": "incremental", "partitions_processed": processed}))
 
@@ -73,6 +78,9 @@ def main(argv: list[str] | None = None) -> None:
         s.add_argument("--files-per-partition", type=int, default=8)
         if name == "incremental":
             s.add_argument("--checkpoint", required=True)
+            # continuous mode leaves the max day open (rewritten next cycle);
+            # set this for a known-complete backfill so the last day closes too
+            s.add_argument("--commit-open-day", action="store_true")
         s.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

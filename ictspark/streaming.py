@@ -93,6 +93,7 @@ def first_fail_stream(transcripts: DataFrame) -> DataFrame:
         import pandas as pd
 
         best = state.get if state.exists else None  # (step, turn_idx, line_no, ts)
+        improved = False
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -100,7 +101,10 @@ def first_fail_stream(transcripts: DataFrame) -> DataFrame:
             cand = pdf.iloc[0]
             if best is None or (int(cand["turn_idx"]), int(cand["line_no"])) < (best[1], best[2]):
                 best = (str(cand["step"]), int(cand["turn_idx"]), int(cand["line_no"]), cand["ts"])
-        if best is not None:
+                improved = True
+        # emit + rewrite state ONLY when the champion improved this batch —
+        # update-mode sinks otherwise receive redundant duplicate rows per conv
+        if improved:
             state.update(best)
             yield pd.DataFrame(
                 {

@@ -80,11 +80,38 @@ def test_report_from_store_matches_direct(spark, smoke_sf_dir):
 
 
 def test_idempotent_rerun(spark, smoke_sf_dir):
-    """Running again with everything committed is a no-op."""
+    """Rerun reprocesses ONLY the still-open (max) day; with
+    commit_open_day=True (known-complete backfill) it is a full no-op."""
     t = io.load_transcripts(spark, smoke_sf_dir)
     tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
     with tempfile.TemporaryDirectory() as d:
         first = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
         again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
-        assert len(first) > 0
+        assert len(first) > 2
+        assert again == [max(first)]  # open day rewritten, nothing else
+        # store unchanged by the rewrite
+        got = CK.read_all_routed(spark, f"{d}/out").drop("day")
+        exp = _cold_routed(spark, smoke_sf_dir)
+        assert got.count() == exp.count()
+    with tempfile.TemporaryDirectory() as d:
+        CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck", commit_open_day=True)
+        again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck", commit_open_day=True)
         assert again == []
+
+
+def test_open_day_late_arrivals(spark, smoke_sf_dir):
+    """ADVICE r01 (high): rows arriving for the still-open day after a cycle
+    committed it must NOT be dropped — the open day is rewritten next cycle."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    max_day = t.select(F.max(F.to_date("ts")).alias("d")).first()["d"]
+    is_open = F.to_date("ts") == F.lit(max_day)
+    # first cycle sees only half the open day's convs; second cycle sees all
+    early = t.where(~is_open | (F.crc32("conv_id") % 2 == 0))
+    with tempfile.TemporaryDirectory() as d:
+        CK.run_incremental(spark, early, tool_dim, f"{d}/out", f"{d}/ck")
+        CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        got = CK.read_all_routed(spark, f"{d}/out").drop("day")
+        exp = _cold_routed(spark, smoke_sf_dir)
+        assert got.count() == exp.count()
+        assert got.select(*exp.columns).exceptAll(exp).count() == 0

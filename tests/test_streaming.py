@@ -57,6 +57,14 @@ def test_first_fail_stream_converges_to_batch(spark, stream_src, smoke_sf_dir):
     sa = A.with_attempt(parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir)))
     exp = {r["conv_id"]: (r["step"], r["turn_idx"]) for r in A.first_fail(sa).collect()}
     assert final == exp
+    # emits only on improvement (ADVICE r01): rows per conv are strictly
+    # decreasing in (turn_idx); identical re-emissions would violate this
+    seen: dict = {}
+    for r in rows:
+        prev = seen.get(r["conv_id"])
+        if prev is not None:
+            assert (r["turn_idx"],) < (prev,), f"redundant emission for {r['conv_id']}"
+        seen[r["conv_id"]] = r["turn_idx"]
 
 
 def test_route_stream_equals_batch(spark, stream_src, smoke_sf_dir):
