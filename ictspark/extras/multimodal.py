@@ -43,10 +43,15 @@ def _decode(payload: bytes, media_type: str, fake: bool):
         raise NotImplementedError(
             "media decode requires image/audio libraries not present in this environment"
         )
-    # deterministic fake "decoded signal": byte histogram moments
+    # deterministic fake "decoded signal": byte histogram moments. Quantize
+    # with floor(x*1e4 + 0.5)/1e4 — identical IEEE ops in Python and DuckDB,
+    # so the oracle matches bit-for-bit (Python round() is banker's rounding
+    # and would diverge on exact half-ulp boundaries).
+    import math
+
     n = len(payload)
     mean = sum(payload) / n if n else 0.0
-    return n, round(mean, 4)
+    return n, math.floor(mean * 10000 + 0.5) / 10000
 
 
 def featurize(media: DataFrame, fake_decode: bool = True) -> DataFrame:

@@ -6,7 +6,7 @@ views in the driver's DuckDB; media/transcripts are read by absolute path.
 from __future__ import annotations
 
 from ictspark.extras.dedup import LSH_BANDS, N_MINHASH, N_SIMHASH_BITS
-from ictspark.extras.textstats import STOPWORDS, TOKEN_RE
+from ictspark.extras.textstats import LANG_PROFILES, STOPWORDS, TOKEN_RE
 
 _TSF = "%Y-%m-%d %H:%M:%S"
 
@@ -100,6 +100,25 @@ FROM (
   FROM documents
 )
 GROUP BY 1"""
+
+    langs = sorted(LANG_PROFILES)
+
+    def _count_sum(lang: str) -> str:
+        terms = " + ".join(
+            f"(length(lo) - length(replace(lo, '{bg}', ''))) / 2"
+            for bg in LANG_PROFILES[lang]
+        )
+        return f"CAST({terms} AS BIGINT) AS n_{lang}"
+
+    arms = []
+    for lang in langs[:-1]:
+        cond = " AND ".join(f"n_{lang} >= n_{o}" for o in langs if o != lang)
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+    q["lang_id"] = f"""
+WITH lowered AS (SELECT doc_id, lang, lower(COALESCE(text, '')) AS lo FROM documents),
+scored AS (SELECT doc_id, lang, {", ".join(_count_sum(lang) for lang in langs)} FROM lowered)
+SELECT doc_id, lang, {case} AS lang_pred FROM scored"""
 
     q["dedup_exact"] = """
 SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
@@ -207,6 +226,30 @@ FROM (
   SELECT media_id, CAST(duration_s * fps AS INT) AS n_frames
   FROM read_parquet('{media_path}') WHERE media_type = 'video'
 )"""
+
+    # The mapInPandas featurizer's (stubbed) fake decode is deterministic —
+    # byte count + quantized byte mean — so it is DuckDB-expressible: extract
+    # byte values from hex(payload), identical floor-quantization on both
+    # sides (was rows-only in r01).
+    q["media_featurize"] = f"""
+WITH m AS (
+  SELECT media_id, media_type, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{media_path}')
+),
+b AS (
+  SELECT media_id, media_type, n, h,
+         unnest(generate_series(1, n)) AS i
+  FROM m
+),
+s AS (
+  SELECT media_id, media_type, n,
+         SUM((strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS total
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT media_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+       floor(total * 1.0 / n * 10000 + 0.5) / 10000 AS byte_mean
+FROM s"""
 
     # ------------------------- driver-table operator queries -------------------------
 

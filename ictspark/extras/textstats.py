@@ -1,13 +1,12 @@
 """Text-analysis operators for a training-data pipeline over `documents`.
 
-All built-in-function implementations (JVM-side); the language-ID heuristic is
-the one deliberately non-SQL-expressible op (character n-gram scoring in a
-pandas UDF) and gets a rows-only driver check.
+All built-in-function implementations (JVM-side, whole-stage codegen) — every
+operator here, including the language-ID heuristic, is SQL-expressible and
+fully oracle-checked.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,38 +54,52 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an"],
+    "de": ["en", "er", "ch", "de", "ei"],
+    "fr": ["es", "le", "de", "en", "re"],
+    "es": ["de", "la", "os", "en", "es"],
+    "zh": ["zh", "ng", "sh", "ia", "ao"],
+}
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
-    """Language-ID via character-bigram profile scoring (pandas UDF; the
-    deliberately non-SQL-expressible op → rows-only driver check).
+    """Language-ID via character-bigram profile scoring, all built-in
+    functions (JVM-side, whole-stage codegen — no Python in the plan).
 
-    Deterministic: profiles are fixed tables, scoring is argmax with
-    lexicographic tie-break.
-    """
-    from pyspark.sql.functions import pandas_udf
+    Per language: sum of non-overlapping bigram occurrence counts
+    (count = (len - len(replace(text, bg, ''))) / 2). All languages share the
+    same denominator (len + 1), so the argmax reduces to integer count
+    comparison — no floats. Tie-break is lexicographic on language code
+    (the first CASE arm in sorted order whose count >= every other wins),
+    matching the original sorted-scan implementation. SQL-expressible, so the
+    driver runs a full rows+schema+hash oracle (was rows-only in r01)."""
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
 
-    PROFILES = {
-        "en": ["th", "he", "in", "er", "an"],
-        "de": ["en", "er", "ch", "de", "ei"],
-        "fr": ["es", "le", "de", "en", "re"],
-        "es": ["de", "la", "os", "en", "es"],
-        "zh": ["zh", "ng", "sh", "ia", "ao"],
-    }
+    def count_sum(bigrams: list[str]) -> F.Column:
+        c = None
+        for bg in bigrams:
+            one = (F.length(low) - F.length(F.replace(low, F.lit(bg), F.lit("")))) / 2
+            c = one if c is None else c + one
+        return c.cast("bigint")
 
-    @pandas_udf("string")
-    def _pred(texts: pd.Series) -> pd.Series:
-        low = texts.fillna("").str.lower()
-
-        def score(t: str) -> str:
-            best, best_s = "und", -1.0
-            for lang in sorted(PROFILES):
-                s = sum(t.count(bg) for bg in PROFILES[lang]) / (len(t) + 1)
-                if s > best_s:
-                    best, best_s = lang, s
-            return best
-
-        return low.map(score)
-
-    return documents.select("doc_id", "lang", _pred(F.col("text")).alias("lang_pred"))
+    langs = sorted(LANG_PROFILES)
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[count_sum(LANG_PROFILES[lang]).alias(f"n_{lang}") for lang in langs],
+    )
+    pred = None
+    for lang in langs[:-1]:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"n_{lang}") >= F.col(f"n_{other}")
+            cond = c if cond is None else cond & c
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    return scored.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
 def rolling_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
