@@ -12,19 +12,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for(cores: int, cluster: bool | None = None) -> int:
+    """Shuffle-partition heuristic, as code rather than a comment.
+
+    - local single-JVM mode: 1× cores (measured, BENCH: per-partition
+      map-output + AQE-decision overhead dominates at bench scales — 32 vs 64
+      partitions = 10.4 s vs 16.3 s at sf0.1/local[32]), floor 16;
+    - cluster mode (multi-executor): 3× total cores — stragglers/skew need
+      over-decomposition and AQE coalescing makes the higher initial count
+      safe there. Enable with cluster=True or ICTSPARK_CLUSTER=1.
+    """
+    if cluster is None:
+        cluster = os.environ.get("ICTSPARK_CLUSTER", "0") not in ("", "0", "false")
+    return max(3 * cores if cluster else cores, 16)
+
+
 def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     app: str = "ictspark",
     extra: dict[str, str] | None = None,
+    cluster: bool | None = None,
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # measured (BENCH): in single-JVM local mode 1× cores beats 2×/4× cores for
-    # shuffle partitions (per-partition map-output + AQE-decision overhead
-    # dominates at bench scales: 32 vs 64 partitions = 10.4s vs 16.3s at sf0.1).
-    # On a real multi-executor cluster set 2-3× total cores; AQE coalescing
-    # makes the higher initial count safe there.
-    shuffle_partitions = shuffle_partitions or max(cpus, 16)
+    shuffle_partitions = shuffle_partitions or shuffle_partitions_for(cpus, cluster)
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)

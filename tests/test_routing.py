@@ -53,6 +53,63 @@ def test_partition_layout_prunes(spark, smoke_sf_dir):
         assert one.count() > 0
 
 
+def test_layout_conforms_to_iceberg_spec(spark, smoke_sf_dir):
+    """The parquet fallback layout must match the identity(route_key)/days(ts)
+    Iceberg partition spec exactly: one directory level per transform, named
+    route_key=<k>/day=<yyyy-MM-dd>, and the directory set must equal the
+    distinct (route_key, day) combinations in the data — so flipping
+    ICTSPARK_FORMAT=iceberg on a cluster reads/writes the same partitioning."""
+    import os
+    import re
+
+    sa = A.with_attempt(parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir)))
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    enriched = enrich.enrich_steps(sa, tool_dim)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/routed"
+        route.write_routed(enriched, path)
+        on_disk = set()
+        for rk_dir in os.listdir(path):
+            if rk_dir.startswith(("_", ".")):
+                continue
+            assert re.fullmatch(r"route_key=[A-Za-z0-9_.-]+", rk_dir), rk_dir
+            for day_dir in os.listdir(os.path.join(path, rk_dir)):
+                if day_dir.startswith(("_", ".")):
+                    continue
+                assert re.fullmatch(r"day=\d{4}-\d{2}-\d{2}", day_dir), day_dir
+                leaf = os.path.join(path, rk_dir, day_dir)
+                files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+                assert files, f"empty partition dir {leaf}"
+                on_disk.add((rk_dir.split("=", 1)[1], day_dir.split("=", 1)[1]))
+        expected = {
+            (r["route_key"], str(r["day"]))
+            for r in route.route_columns(enriched).select("route_key", "day").distinct().collect()
+        }
+        assert on_disk == expected
+
+
+def test_iceberg_branch_dispatch(spark, smoke_sf_dir, monkeypatch):
+    """ICTSPARK_FORMAT=iceberg must dispatch to the writeTo/partitionedBy
+    branch (executed up to the catalog lookup — the runtime jar is absent
+    offline, so the failure must come from Spark's catalog resolution, not
+    from our code path never running)."""
+    import pytest
+
+    sa = A.with_attempt(parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir)))
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    enriched = enrich.enrich_steps(sa, tool_dim).limit(10)
+    monkeypatch.setenv("ICTSPARK_FORMAT", "iceberg")
+    with pytest.raises(Exception) as exc:
+        route.write_routed(enriched, "ictspark_test.routed")
+    # the branch ran: Spark rejected the unresolved catalog/table or the
+    # missing iceberg source, not a Python-side error in route.py
+    msg = str(exc.value)
+    assert any(
+        s in msg
+        for s in ("TABLE_OR_VIEW_NOT_FOUND", "Catalog", "catalog", "iceberg", "DATA_SOURCE")
+    ), msg
+
+
 def test_compaction_preserves_rows(spark, smoke_sf_dir):
     """compact_routed rewrites partitions without changing content."""
     import glob
