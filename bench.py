@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from ictspark import io, parse
+from ictspark import product_report as PR
 from ictspark import route as R
 from ictspark.pipeline import ReportSet
 from ictspark.session import get_spark
@@ -63,6 +64,11 @@ def main() -> None:
         timed("first_fail", lambda: rs.first_fail().count())
         timed("failed_boards", lambda: rs.failed_boards().count())
         timed("route_counts", lambda: rs.route_counts().collect())
+        timed(
+            "product_daily_failures",
+            lambda: PR.product_daily_failures(rs.enriched()).count(),
+        )
+        timed("product_hourly", lambda: PR.product_hourly(rs.enriched()).count())
         tmp = tempfile.mkdtemp(prefix="ictspark_bench_")
         try:
             timed(

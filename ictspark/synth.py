@@ -33,10 +33,10 @@ SYNTH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 
 # conversations per scale (FIXTURES.md: ~100 smoke / ~5k correctness / ~500k turns bench;
 # sf1 is the scaling-protocol tier — big enough that parallelism, not overhead, dominates)
-SCALES = {"sf0.001": 100, "sf0.01": 5000, "sf0.1": 30000, "sf1": 300000}
+SCALES = {"sf0.001": 100, "sf0.01": 5000, "sf0.1": 30000, "sf1": 300000, "sf4": 1200000}
 # files per scale: >1 so the scan/parse stage splits across tasks (a single small
 # parquet file pins the whole parse to ONE task regardless of cluster size)
-N_FILES = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 32}
+N_FILES = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 32, "sf4": 64}
 
 TOOL_BY_PREFIX = {
     "c": "meas_capacitance",
@@ -315,7 +315,7 @@ if __name__ == "__main__":
 # ---------------------------------------------------------------- media ----
 
 MEDIA_VERSION = 1
-N_MEDIA = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000, "sf1": 3000}
+N_MEDIA = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1000, "sf1": 3000, "sf4": 3000}
 
 
 def ensure_media(sf_name: str) -> str:

@@ -48,6 +48,14 @@ def main() -> None:
     tool_dim, _ = io.load_dims(spark, sf_dir)
     n_turns = t.count()
 
+    # Each rep builds FRESH DataFrame plans. Reusing one plan across reps was
+    # measured to corrupt both phases: AQE caches materialized shuffle stages
+    # inside the AdaptiveSparkPlanExec, so a repeated collect() on the same DF
+    # measures only the final stage (~0.1 s phantom), and the writer's reused
+    # exchange was 3x SLOWER than a fresh plan. Fresh plans re-pay ~1-3 s of
+    # single-threaded driver analysis per phase — a fixed cost at every
+    # parallelism level; the scaling input tier is sized (sf4) so it is < 5%
+    # of the smallest measured phase.
     mat, rep, wrt = [], [], []
     for i in range(reps + 1):  # +1 warmup round (codegen), excluded
         rs = ReportSet(t, tool_dim)
