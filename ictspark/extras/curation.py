@@ -1,0 +1,146 @@
+"""Corpus-curation operators for a training-data pipeline over `documents`.
+
+These extend the dedup/similarity family into the operations a keep/drop
+pipeline actually runs at 100 TB:
+
+- ``dedup_components``: connected components over the MinHash-LSH candidate
+  graph by iterative min-label propagation — the alternating-star/hash-to-min
+  family used for web-scale dedup (each round is one equi-join + one groupBy;
+  rounds needed = O(log component diameter), driver loop only checks a count).
+  The DuckDB oracle computes ground-truth components via WITH RECURSIVE, so
+  the hash match proves the iteration converged to the true partition.
+- ``stratified_sample``: deterministic hash-threshold sampling per document —
+  reproducible across engines and runs (md5 prefix compare; granularity
+  1/256 per hex pair). No RNG, no sampleBy seed drift.
+- ``top_terms_per_lang``: TF-IDF-ish distinguishing terms per language.
+- ``length_percentiles``: exact p50/p90/p99 of document length per language via
+  rank windows (portable — percentile_approx sketches are engine-specific).
+- ``scrub_stats``: PII/noise scrub accounting (emails, URLs) with the
+  scrubbed text's fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ictspark.extras.dedup import minhash_lsh_pairs
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def dedup_components(documents: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(doc_id, component) for every doc; component = min doc_id reachable in
+    the MinHash-LSH near-dup candidate graph (singletons map to themselves).
+
+    Iterative min-label propagation: label(v) ← min(label(v), min over
+    neighbors' labels) until no label changes. Each round is one shuffle on
+    doc_id — the scale-correct CC shape (no driver-side graph)."""
+    pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b").persist()
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .persist()
+    )
+    edges.count()  # materialize while the pairs cache is alive (one LSH pass)
+    pairs.unpersist()
+    labels = documents.select("doc_id", F.col("doc_id").alias("component")).persist()
+    for _ in range(max_iter):
+        # neighbor labels: for each doc, the min component among its neighbors
+        nb = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("component").alias("nb_component"))
+        )
+        new_labels = (
+            labels.join(nb, labels.doc_id == nb.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nb_component", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def stratified_sample(documents: DataFrame, hex_threshold: str = "40") -> DataFrame:
+    """Deterministic ~(int(hex_threshold,16)/256) sample: keep a doc iff the
+    first two hex chars of md5(doc_id) compare below the threshold — the
+    lexicographic compare of fixed-width lowercase hex IS the numeric compare,
+    identical in any engine, stable across runs (the reproducible-split
+    primitive a training pipeline needs; granularity 1/256)."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    return documents.where(F.substring(key, 1, 2) < F.lit(hex_threshold.lower())).select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+
+
+def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """TF-IDF-ish distinguishing terms: per (lang, token), tf = occurrences
+    in the language, df = languages containing the token; score = tf * ln(L/df).
+    Top-k per lang, ties broken by token asc. Integer tf/df + one ln — the
+    float is a single identical op in both engines."""
+    toks = documents.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    n_langs = documents.select("lang").distinct().count()
+    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_langs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lang", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def length_percentiles(documents: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of document length per language: value at rank
+    ceil(q * n) under (length, doc_id) ordering — deterministic and portable,
+    unlike engine-specific approx-percentile sketches."""
+    d = documents.select("lang", F.length("text").alias("n_chars"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    qs = {"p50": 0.50, "p90": 0.90, "p99": 0.99}
+    aggs = [
+        F.max(
+            F.when(F.col("rnk") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars"))
+        ).alias(name)
+        for name, q in qs.items()
+    ]
+    return ranked.groupBy("lang").agg(F.max("n").alias("n_docs"), *aggs)
+
+
+def scrub_stats(documents: DataFrame) -> DataFrame:
+    """PII/noise scrub accounting: per doc, the email/URL match counts, the
+    scrubbed text's md5, and whether scrubbing changed the text."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_RE), 0)).alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        (scrubbed != F.col("text")).alias("was_scrubbed"),
+    )

@@ -53,6 +53,33 @@ bits AS (SELECT doc_id, {", ".join(bits)} FROM th GROUP BY 1),
 sig AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits)"""
 
 
+def _minhash_pairs_ctes() -> str:
+    """CTEs buckets/cand/scored producing MinHash-LSH candidate pairs with
+    est_jaccard (shared by minhash_lsh_pairs and dedup_components)."""
+    r = N_MINHASH // LSH_BANDS
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b, key=" || '|' || ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
+        )
+        for b in range(LSH_BANDS)
+    )
+    est = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))
+    return f"""buckets AS (
+  {band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, ROUND(({est}) / {float(N_MINHASH)}, 4) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+)"""
+
+
 def extras_oracles(transcripts_path: str, media_path: str) -> dict[str, str]:
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     q: dict[str, str] = {}
@@ -139,31 +166,10 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) >= 0.2"""
 
-    r = N_MINHASH // LSH_BANDS
-    band_sel = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
-            b=b, key=" || '|' || ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
-        )
-        for b in range(LSH_BANDS)
-    )
-    est = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))
     q["minhash_lsh_pairs"] = f"""
 WITH {_SHINGLES},
 {_minhash_sig()},
-buckets AS (
-  {band_sel}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
-scored AS (
-  SELECT doc_a, doc_b, ROUND(({est}) / {float(N_MINHASH)}, 4) AS est_jaccard
-  FROM cand
-  JOIN sig sa ON doc_a = sa.doc_id
-  JOIN sig sb ON doc_b = sb.doc_id
-)
+{_minhash_pairs_ctes()}
 SELECT * FROM scored WHERE est_jaccard >= 0.2"""
 
     q["simhash_pairs"] = f"""
@@ -226,6 +232,71 @@ FROM (
   SELECT media_id, CAST(duration_s * fps AS INT) AS n_frames
   FROM read_parquet('{media_path}') WHERE media_type = 'video'
 )"""
+
+    # ----------------------------- curation ops -----------------------------
+
+    # Ground-truth connected components via WITH RECURSIVE transitive closure
+    # over the same LSH candidate edges — the Spark side iterates min-label
+    # propagation, so a hash match proves the iteration converged to the true
+    # partition.
+    q["dedup_components"] = f"""
+WITH RECURSIVE {_SHINGLES},
+{_minhash_sig()},
+{_minhash_pairs_ctes()},
+e0 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.2),
+edges AS (SELECT doc_a, doc_b FROM e0 UNION SELECT doc_b, doc_a FROM e0),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS r FROM documents
+  UNION
+  SELECT e.doc_a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.doc_b
+)
+SELECT doc AS doc_id, MIN(r) AS component FROM reach GROUP BY 1"""
+
+    q["stratified_sample"] = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'"""
+
+    q["top_terms_per_lang"] = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+t2 AS (SELECT lang, token FROM toks WHERE token <> ''),
+tf AS (SELECT lang, token, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+nl AS (SELECT COUNT(DISTINCT lang) AS n FROM documents),
+scored AS (
+  SELECT lang, token, tf, df,
+         ROUND(tf * ln((SELECT n FROM nl) * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN df USING (token)
+)
+SELECT lang, token, tf, df, tfidf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, token) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+    q["length_percentiles"] = """
+WITH d AS (SELECT lang, length(text) AS n_chars, doc_id FROM documents),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM d
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rnk = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS p50,
+       MAX(CASE WHEN rnk = CAST(ceil(0.90 * n) AS BIGINT) THEN n_chars END) AS p90,
+       MAX(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
+FROM r GROUP BY 1"""
+
+    from ictspark.extras.curation import EMAIL_RE, URL_RE
+
+    q["scrub_stats"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), '{URL_RE}', '<URL>', 'g')) AS scrubbed_fp,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), '{URL_RE}', '<URL>', 'g') <> text AS was_scrubbed
+FROM documents"""
 
     # The mapInPandas featurizer's (stubbed) fake decode is deterministic —
     # byte count + quantized byte mean — so it is DuckDB-expressible: extract

@@ -165,3 +165,39 @@ def test_frame_plan_steps(media):
     p = multimodal.frame_sample_plan(media, every_n=30)
     assert p.where(F.col("frame_idx") % 30 != 0).count() == 0
     assert p.count() > 0
+
+
+def test_dedup_components_partition(docs):
+    """Components cover every doc exactly once; component heads are members;
+    every LSH pair lands in one component."""
+    from ictspark.extras import curation
+
+    comp = curation.dedup_components(docs)
+    assert comp.count() == docs.count()
+    assert comp.select("doc_id").distinct().count() == docs.count()
+    rows = {r["doc_id"]: r["component"] for r in comp.collect()}
+    # head is a member of its own component and the minimum of it
+    for d, c in rows.items():
+        assert rows[c] == c
+        assert c <= d
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    for p in pairs:
+        assert rows[p["doc_a"]] == rows[p["doc_b"]]
+
+
+def test_stratified_sample_deterministic(docs):
+    from ictspark.extras import curation
+
+    a = {r["doc_id"] for r in curation.stratified_sample(docs).collect()}
+    b = {r["doc_id"] for r in curation.stratified_sample(docs).collect()}
+    assert a == b
+    frac = len(a) / docs.count()
+    assert 0.10 < frac < 0.40  # ~0x40/256 = 25% within binomial slack
+
+
+def test_length_percentiles_ordered(docs):
+    from ictspark.extras import curation
+
+    for r in curation.length_percentiles(docs).collect():
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        assert r["n_docs"] > 0
