@@ -41,7 +41,7 @@ def cmd_batch(args: argparse.Namespace) -> None:
     rs = ReportSet(t, tool_dim)
     counts = rs.materialize()
     R.write_routed(rs.enriched(), os.path.join(args.out, "routed"), files_per_partition=args.files_per_partition)
-    for name, df in rs.all_reports().items():
+    for name, df in {**rs.all_reports(), **rs.product_reports()}.items():
         df.write.mode("overwrite").parquet(os.path.join(args.out, "reports", name))
     print(
         json.dumps(

@@ -107,6 +107,19 @@ class ReportSet:
             "route_counts": self.route_counts(),
         }
 
+    def product_reports(self) -> dict[str, DataFrame]:
+        """The write_product composite (per-route daily report) — kept out of
+        all_reports() so the scaling-protocol workload stays the nine
+        aggregates BENCH/BASELINE.md measured."""
+        from ictspark import product_report as PR
+
+        es = self.enriched()
+        return {
+            "product_hourly": PR.product_hourly(es),
+            "product_daily_failures": PR.product_daily_failures(es),
+            "product_failed_boards": PR.product_failed_boards(es),
+        }
+
     def unpersist(self) -> None:
         for df in (self.steps_a, self.runs, self.fails):
             df.unpersist()
