@@ -36,7 +36,7 @@ SYNTH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 SCALES = {"sf0.001": 100, "sf0.01": 5000, "sf0.1": 30000, "sf1": 300000, "sf4": 1200000}
 # files per scale: >1 so the scan/parse stage splits across tasks (a single small
 # parquet file pins the whole parse to ONE task regardless of cluster size)
-N_FILES = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 32, "sf4": 64}
+N_FILES = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 32, "sf1": 32, "sf4": 64}
 
 TOOL_BY_PREFIX = {
     "c": "meas_capacitance",
@@ -261,7 +261,11 @@ def ensure(sf_name: str) -> str:
     meta_path = os.path.join(out, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            if json.load(f).get("gen_version") == GEN_VERSION:
+            m = json.load(f)
+            # n_files participates in the cache key: the file count caps scan
+            # parallelism, so a split change must regenerate (content is a pure
+            # function of the conv specs and does not depend on the split)
+            if m.get("gen_version") == GEN_VERSION and m.get("n_files") == N_FILES[sf_name]:
                 return out
     os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(SEED + _crc(sf_name) % 1000)
@@ -294,7 +298,7 @@ def ensure(sf_name: str) -> str:
     for name, tbl in _dims().items():
         pq.write_table(tbl, os.path.join(out, f"{name}.parquet"))
     with open(meta_path, "w") as f:
-        json.dump({"gen_version": GEN_VERSION, "sf": sf_name, "rows": total_rows}, f)
+        json.dump({"gen_version": GEN_VERSION, "sf": sf_name, "rows": total_rows, "n_files": n_files}, f)
     return out
 
 
