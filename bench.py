@@ -42,7 +42,7 @@ def main() -> None:
     tool_dim, _ = io.load_dims(spark, sf_dir)
     n_turns = t.count()
 
-    reps = int(os.environ.get("ICTSPARK_BENCH_REPS", "2"))
+    reps = int(os.environ.get("ICTSPARK_BENCH_REPS", "3"))  # noisy shared VM: best-of-3
     q: dict[str, float] = {}
 
     def run_once() -> dict[str, float]:
