@@ -32,11 +32,7 @@ URL_RE = r"https?://[^\s]+"
 
 def dedup_components(documents: DataFrame, max_iter: int = 10) -> DataFrame:
     """(doc_id, component) for every doc; component = min doc_id reachable in
-    the MinHash-LSH near-dup candidate graph (singletons map to themselves).
-
-    Iterative min-label propagation: label(v) ← min(label(v), min over
-    neighbors' labels) until no label changes. Each round is one shuffle on
-    doc_id — the scale-correct CC shape (no driver-side graph)."""
+    the MinHash-LSH near-dup candidate graph (singletons map to themselves)."""
     pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b").persist()
     edges = (
         pairs.unionByName(
@@ -47,7 +43,18 @@ def dedup_components(documents: DataFrame, max_iter: int = 10) -> DataFrame:
     )
     edges.count()  # materialize while the pairs cache is alive (one LSH pass)
     pairs.unpersist()
-    labels = documents.select("doc_id", F.col("doc_id").alias("component")).persist()
+    out = connected_components(documents.select("doc_id"), edges, max_iter)
+    edges.unpersist()
+    return out
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label propagation CC: label(v) ← min(label(v), min over neighbors'
+    labels) until no label changes. `nodes` has doc_id; `edges` has
+    (doc_a, doc_b) and must be SYMMETRIC (both directions present). Each round
+    is one shuffle on doc_id — the scale-correct CC shape (no driver-side
+    graph); the driver loop only reads a convergence count."""
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
     for _ in range(max_iter):
         # neighbor labels: for each doc, the min component among its neighbors
         nb = (
@@ -74,7 +81,6 @@ def dedup_components(documents: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

@@ -124,6 +124,18 @@ def first_fail_stream(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def dedupe_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming T4: exactly-once-ish ingest dedupe on (conv_id, turn_idx)
+    with bounded state — dropDuplicatesWithinWatermark evicts keys older than
+    the event-time watermark, the streaming analog of the batch
+    `io.dedupe_transcripts` + the reference's push-dedupe over its 5 s overlap
+    window (main.rs:494-497)."""
+    t = transcripts.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return t.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str) -> list:
     """Drain the stream with the availableNow trigger into an in-memory sink;
     returns collected rows. Used by tests and the parity harness."""

@@ -84,3 +84,49 @@ def test_sql_view_yield_matches_dataframe(spark, smoke_sf_dir):
     sa = _steps_a(spark, smoke_sf_dir)
     exp = A.yields(sa).where("level = 'conv' and grain = 'total'").first()
     assert (got["ok"], got["nok"], got["pct"]) == (exp["ok"], exp["nok"], exp["pct"])
+
+
+def test_connected_components_matches_union_find(spark):
+    """CC min-label propagation == reference union-find on random graphs
+    (seed-deterministic; covers singletons, chains, cycles, merges)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = rng.randint(1, 40)
+        n_edges = rng.randint(0, 60)
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)]
+        raw = [(a, b) for a, b in raw if a != b]
+        # reference union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in raw:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {x: find(x) for x in range(n)}
+        # normalize: component head = min member
+        comp_members: dict = {}
+        for x, r in exp.items():
+            comp_members.setdefault(r, []).append(x)
+        exp_norm = {x: min(comp_members[find(x)]) for x in range(n)}
+
+        from ictspark.extras.curation import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        sym = list({(a, b) for a, b in raw} | {(b, a) for a, b in raw})
+        if sym:
+            edges = spark.createDataFrame(sym, "doc_a long, doc_b long")
+        else:
+            edges = spark.createDataFrame([], "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(nodes, edges, max_iter=50).collect()
+        }
+        assert got == exp_norm, f"trial {trial}: n={n} edges={raw}"

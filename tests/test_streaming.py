@@ -91,3 +91,23 @@ def test_route_stream_equals_batch(spark, stream_src, smoke_sf_dir):
         got_counts = {r["route_key"]: r["count"] for r in got.groupBy("route_key").count().collect()}
         exp_counts = {r["route_key"]: r["count"] for r in exp.groupBy("route_key").count().collect()}
         assert got_counts == exp_counts
+
+
+def test_dedupe_stream_drops_duplicates(spark, stream_src, smoke_sf_dir):
+    """Streaming dedupe (T4): feeding the same file twice in one availableNow
+    drain yields each (conv_id, turn_idx) exactly once (within the watermark),
+    matching the batch ingest dedupe."""
+    import shutil
+
+    with tempfile.TemporaryDirectory() as d2:
+        src_file = os.path.join(stream_src, "part-0000.parquet")
+        shutil.copy(src_file, os.path.join(d2, "part-0000.parquet"))
+        shutil.copy(src_file, os.path.join(d2, "part-0001.parquet"))  # dup batch
+        s = streaming.read_transcript_stream(spark, d2)
+        dd = streaming.dedupe_stream(s).select("conv_id", "turn_idx")
+        with tempfile.TemporaryDirectory() as ck:
+            rows = streaming.run_available_now(dd, ck, output_mode="append")
+        keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+        assert len(keys) == len(set(keys)), "duplicate keys leaked through"
+        exp = io.load_transcripts(spark, smoke_sf_dir).select("conv_id", "turn_idx").distinct().count()
+        assert len(set(keys)) == exp
