@@ -1,0 +1,55 @@
+"""Deployable-job entrypoint (job.py): the spark-submit surface must run end
+to end — batch writes routed store + every report table (including the
+per-product composite); incremental resumes through the same CLI."""
+
+import json
+import os
+import tempfile
+
+from ictspark import io, job, synth
+
+
+def test_job_batch_writes_reports(spark, smoke_sf_dir):
+    d = synth.synth_dir_for(smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as out:
+        job.main(
+            [
+                "batch",
+                "--transcripts", os.path.join(d, "transcripts.parquet"),
+                "--tool-dim", os.path.join(d, "tool_dim.parquet"),
+                "--out", out,
+                "--files-per-partition", "1",
+            ]
+        )
+        report_names = set(os.listdir(os.path.join(out, "reports")))
+        assert {"yields", "failure_counts", "product_hourly", "product_daily_failures",
+                "product_failed_boards"} <= report_names
+        routed = spark.read.parquet(os.path.join(out, "routed"))
+        assert routed.count() > 0
+        ph = spark.read.parquet(os.path.join(out, "reports", "product_hourly"))
+        assert ph.where("hour = 'TOTAL'").count() == ph.select("route_key").distinct().count()
+
+
+def test_job_incremental_cli(spark, smoke_sf_dir, capsys):
+    d = synth.synth_dir_for(smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as out:
+        args = [
+            "incremental",
+            "--transcripts", os.path.join(d, "transcripts.parquet"),
+            "--tool-dim", os.path.join(d, "tool_dim.parquet"),
+            "--out", out,
+            "--checkpoint", os.path.join(out, "ck"),
+        ]
+        job.main(args)
+        first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(first["partitions_processed"]) > 1
+        job.main(args)
+        second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # only the open (max) day is reprocessed on rerun
+        assert second["partitions_processed"] == [max(first["partitions_processed"])]
+        routed_dir = os.path.join(out, "routed")
+        n = spark.read.option("basePath", routed_dir).parquet(os.path.join(routed_dir, "day=*")).count()
+        exp = io.load_transcripts(spark, smoke_sf_dir)
+        from ictspark import parse
+
+        assert n == parse.parse_steps(exp.dropDuplicates(["conv_id", "turn_idx"])).count()
