@@ -10,7 +10,7 @@ from ictspark.compare import diff
 
 
 @pytest.mark.parametrize("tz", ["America/New_York", "Asia/Tokyo"])
-@pytest.mark.parametrize("name", ["yield_report", "hourly_stats", "first_fail"])
+@pytest.mark.parametrize("name", ["yield_report", "hourly_stats", "first_fail", "product_hourly", "failed_boards_display"])
 def test_outputs_tz_invariant(spark, tz, name):
     sf_dir = "/root/testdata/sf0.01"
     orig = spark.conf.get("spark.sql.session.timeZone")
