@@ -219,6 +219,23 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.35"""
 
+    q["embedding_quantize"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+qt AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qvec
+  FROM s
+)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+       array_to_string(qvec, ',') AS qvec,
+       ROUND(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - qvec[i] * scale))), 6) AS max_abs_err
+FROM qt"""
+
     q["media_stats"] = f"""
 SELECT media_type, COUNT(*) AS n,
        CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,

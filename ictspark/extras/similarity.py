@@ -113,6 +113,30 @@ def srp_band_keys(
     return F.array(*[F.concat(*bits[b * rows : (b + 1) * rows]) for b in range(bands)])
 
 
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage-shrink op a 100 TB
+    embedding store runs before ANN indexing): scale = max|x| / 127, q_i =
+    round(x_i / scale); reports the max absolute reconstruction error per
+    vector. All built-in higher-order functions; CAST(... AS INT) of a
+    half-up round matches DuckDB's ROUND on the same doubles."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    recon_err = F.aggregate(
+        F.zip_with(v, q, lambda x, qq: F.abs(x - qq * scale)),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        # serialized so the driver's value-hash compares engine-portably
+        F.concat_ws(",", q).alias("qvec"),
+        F.round(recon_err, 6).alias("max_abs_err"),
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,

@@ -201,3 +201,11 @@ def test_length_percentiles_ordered(docs):
     for r in curation.length_percentiles(docs).collect():
         assert r["p50"] <= r["p90"] <= r["p99"]
         assert r["n_docs"] > 0
+
+
+def test_embedding_quantize_error_bound(emb):
+    """int8 quantization error never exceeds scale/2 (half a quantization step)."""
+    q = similarity.embedding_quantize(emb)
+    bad = q.where(F.col("max_abs_err") > F.col("scale") / 2 + 1e-9).count()
+    assert bad == 0
+    assert q.count() == emb.count()
