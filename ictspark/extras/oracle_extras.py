@@ -212,6 +212,29 @@ SELECT q_id, c_id, sim, rank FROM (
   FROM cand
 ) WHERE rank <= 3"""
 
+    q["ann_multiprobe"] = f"""
+WITH {_NORM},
+nb AS (SELECT *, {bucket} AS bucket FROM n),
+qp AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, bucket FROM nb WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, qv, qn,
+         CASE WHEN i = 0 THEN bucket
+              ELSE substr(bucket, 1, CAST(i AS INT) - 1)
+                   || (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1' THEN '0' ELSE '1' END)
+                   || substr(bucket, CAST(i AS INT) + 1)
+         END AS bucket
+  FROM qp, generate_series(0, 8) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT q_id, c.vec_id AS c_id,
+         ROUND(list_inner_product(qv, c.v) / (qn * c.norm), 6) AS sim
+  FROM probes p JOIN nb c ON p.bucket = c.bucket AND p.q_id <> c.vec_id
+)
+SELECT q_id, c_id, sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM cand
+) WHERE rank <= 3"""
+
     q["embedding_dup_pairs"] = f"""
 WITH {_NORM}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -5,7 +5,11 @@
 - ``ann_bucketed``: sign-bucket LSH (first-8-dims sign key) — the scale path:
   candidates come from an equi-join on the bucket key instead of a cross join,
   so at 10^9 vectors the shuffle is per-bucket, not quadratic.
-- ``embedding_dup_pairs``: near-duplicate vectors by cosine threshold.
+- ``ann_multiprobe``: same index, each query also probes the 8 hamming-1
+  buckets — higher recall, still equi-join only.
+- ``embedding_dup_pairs``: near-duplicate vectors by cosine threshold —
+  SRP-LSH banded candidates + exact cosine verify.
+- ``embedding_quantize``: int8 storage quantization with error accounting.
 
 All math is done in DOUBLE with explicit rounding so the DuckDB oracle
 (list_inner_product on DOUBLE[]) matches bit-for-bit after round().
@@ -111,6 +115,40 @@ def srp_band_keys(
         )
         bits.append(F.when(dot >= 0, "1").otherwise("0"))
     return F.array(*[F.concat(*bits[b * rows : (b + 1) * rows]) for b in range(bands)])
+
+
+def ann_multiprobe(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Multi-probe bucketed ANN: each query probes its own sign bucket PLUS
+    the 8 buckets at hamming distance 1 (flip one sign bit) — 9 equi-join
+    probes per query, recovering neighbors that straddle a hyperplane at the
+    cost of 9× the (tiny) probe side, never a cross join. Candidates stay
+    per-bucket; top-k by exact cosine."""
+    e = _with_norm(embeddings).withColumn("bucket", _bucket_key(F.col("v")))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"), "bucket"
+    )
+    flips = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, i),
+            F.when(F.substring("bucket", i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring("bucket", i + 2, SIGN_BITS - i - 1),
+        )
+        for i in range(SIGN_BITS)
+    ]
+    probes = q.select("q_id", "qv", "qn", F.explode(F.array(*flips)).alias("bucket"))
+    cand = (
+        probes.join(e.select(F.col("vec_id").alias("c_id"), "v", "norm", "bucket"), "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
 
 
 def embedding_quantize(embeddings: DataFrame) -> DataFrame:

@@ -209,3 +209,17 @@ def test_embedding_quantize_error_bound(emb):
     bad = q.where(F.col("max_abs_err") > F.col("scale") / 2 + 1e-9).count()
     assert bad == 0
     assert q.count() == emb.count()
+
+
+def test_ann_multiprobe_recall_improves(emb):
+    """Hamming-1 multi-probe recall@3 >= single-bucket recall@3 vs brute force;
+    plan stays equi-join."""
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in similarity.ann_bruteforce(emb, k=3).collect()
+    }
+    single = {(r["q_id"], r["c_id"]) for r in similarity.ann_bucketed(emb).collect()}
+    multi = {(r["q_id"], r["c_id"]) for r in similarity.ann_multiprobe(emb).collect()}
+    _assert_no_allpairs_join(similarity.ann_multiprobe(emb))
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi) >= len(single)
