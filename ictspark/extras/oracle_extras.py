@@ -212,6 +212,36 @@ SELECT q_id, c_id, sim, rank FROM (
   FROM cand
 ) WHERE rank <= 3"""
 
+    q["ann_ivf"] = f"""
+WITH {_NORM},
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n
+  WHERE vec_id >= 10 AND vec_id < 26
+),
+scored AS (
+  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+         ROUND(list_inner_product(n.v, c.cv) / (n.norm * c.cn), 6) AS csim
+  FROM n CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+  FROM scored
+),
+lists AS (SELECT vec_id AS c_id, v, norm, cent_id FROM ranked WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, norm AS qn, cent_id
+  FROM ranked WHERE vec_id < 10 AND crank <= 4
+),
+cand AS (
+  SELECT p.q_id, l.c_id,
+         ROUND(list_inner_product(p.qv, l.v) / (p.qn * l.norm), 6) AS sim
+  FROM probes p JOIN lists l ON p.cent_id = l.cent_id AND p.q_id <> l.c_id
+)
+SELECT q_id, c_id, sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM cand
+) WHERE rank <= 3"""
+
     q["ann_multiprobe"] = f"""
 WITH {_NORM},
 nb AS (SELECT *, {bucket} AS bucket FROM n),

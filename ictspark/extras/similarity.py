@@ -151,6 +151,46 @@ def ann_multiprobe(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+IVF_K = 16  # coarse centroids (fixed: vec_id in [N_QUERIES, N_QUERIES+K))
+IVF_NPROBE = 4
+
+
+def ann_ivf(embeddings: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-style ANN: inverted lists under a coarse quantizer + nprobe search.
+
+    The coarse centroids are a FIXED deterministic subset of the vectors
+    (vec_id ∈ [N_QUERIES, N_QUERIES+IVF_K)) rather than k-means-trained —
+    the index STRUCTURE (assign each vector to its nearest centroid's inverted
+    list; a query scans only its nprobe nearest lists) is what matters at
+    scale, and fixed centroids keep both engines bit-identical. Assignment is
+    a broadcast join against the K-row centroid table — O(n·K) scan work with
+    constant K, never O(n²) — followed by per-list equi-joins for the probes.
+    """
+    e = _with_norm(embeddings)
+    cents = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6)
+    scored = e.join(F.broadcast(cents)).withColumn("csim", csim)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cent_id")
+    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    lists = ranked.where("crank = 1").select(
+        F.col("vec_id").alias("c_id"), "v", "norm", "cent_id"
+    )
+    probes = ranked.where(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
+    ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"), "cent_id")
+    cand = probes.join(lists, "cent_id").where(F.col("q_id") != F.col("c_id"))
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
 def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization (the storage-shrink op a 100 TB
     embedding store runs before ANN indexing): scale = max|x| / 127, q_i =

@@ -223,3 +223,18 @@ def test_ann_multiprobe_recall_improves(emb):
     _assert_no_allpairs_join(similarity.ann_multiprobe(emb))
     assert len(multi & truth) >= len(single & truth)
     assert len(multi) >= len(single)
+
+
+def test_ann_ivf_structure(emb):
+    """IVF probes: every query returns k candidates drawn only from its nprobe
+    lists; results are a subset of the brute-force candidate space."""
+    r = similarity.ann_ivf(emb)
+    per_q = {row["q_id"]: 0 for row in r.collect()}
+    for row in r.collect():
+        per_q[row["q_id"]] += 1
+    assert all(v == 3 for v in per_q.values())
+    assert len(per_q) == similarity.N_QUERIES
+    truth = {(x["q_id"], x["c_id"]) for x in similarity.ann_bruteforce(emb, k=3).collect()}
+    got = {(x["q_id"], x["c_id"]) for x in r.collect()}
+    # sanity: nprobe=4 of 16 lists recovers at least a third of the exact top-3
+    assert len(got & truth) >= len(truth) // 3
