@@ -162,3 +162,31 @@ def golden_route_counts(steps: list[dict], tool_dim_path: str) -> dict[str, int]
     for s in steps:
         out[dim.get(s["tool"], "misc")] += 1
     return dict(out)
+
+
+def golden_product_failures(
+    steps: list[dict], tool_dim_path: str
+) -> dict[tuple[str, str], tuple[int, int | None]]:
+    """write_product failure table (daily_yield.rs:127-144): per (route_key,
+    step), (n_fail_all, n_fail_after_retest-or-None); plus per-route TOTAL
+    rows where the after-retest total counts only matched probes (0 if none)."""
+    dim = {r["tool"]: r["route_key"] for r in pq.read_table(tool_dim_path).to_pylist()}
+    allf: dict[tuple[str, str], int] = defaultdict(int)
+    art: dict[tuple[str, str], int] = defaultdict(int)
+    for s in steps:
+        if s["status"] == "pass":
+            continue
+        key = (dim.get(s["tool"], "misc"), s["step"])
+        allf[key] += 1
+        if s["is_last"]:
+            art[key] += 1
+    out: dict[tuple[str, str], tuple[int, int | None]] = {}
+    totals: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for key, n in allf.items():
+        a = art.get(key)
+        out[key] = (n, a)
+        totals[key[0]][0] += n
+        totals[key[0]][1] += a or 0
+    for route, (ta, tr) in totals.items():
+        out[(route, "TOTAL")] = (ta, tr)
+    return out

@@ -70,3 +70,19 @@ def test_route_counts(spark, golden, steps_a, smoke_sf_dir):
     }
     assert rows == golden["routes"]
     assert "misc" in rows  # test_digital is deliberately absent from tool_dim
+
+
+def test_product_failures_match_pyoracle(spark, steps_a, golden, smoke_dir):
+    """Third independent check of the J1 wide join: Spark == pure-Python."""
+    from ictspark import enrich
+    from ictspark import product_report as PR
+
+    exp = pyoracle.golden_product_failures(
+        golden["steps"], os.path.join(smoke_dir, "tool_dim.parquet")
+    )
+    es = enrich.enrich_steps(steps_a, spark.read.parquet(os.path.join(smoke_dir, "tool_dim.parquet")))
+    got = {
+        (r["route_key"], r["step"]): (r["n_fail_all"], r["n_fail_after_retest"])
+        for r in PR.product_daily_failures(es).collect()
+    }
+    assert got == exp
