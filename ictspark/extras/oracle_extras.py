@@ -275,7 +275,7 @@ WHERE ROUND(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.35"""
     q["embedding_quantize"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (
-  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-12) AS scale
   FROM e
 ),
 qt AS (

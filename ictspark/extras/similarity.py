@@ -199,7 +199,9 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     half-up round matches DuckDB's ROUND on the same doubles."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-    scale = amax / F.lit(127.0)
+    # floor guards the all-zero vector (scale 0 → NaN quantiles would diverge
+    # between engines); no effect on any real vector
+    scale = F.greatest(amax / F.lit(127.0), F.lit(1e-12))
     q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
     recon_err = F.aggregate(
         F.zip_with(v, q, lambda x, qq: F.abs(x - qq * scale)),
