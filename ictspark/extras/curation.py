@@ -55,7 +55,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 10)
     is one shuffle on doc_id — the scale-correct CC shape (no driver-side
     graph); the driver loop only reads a convergence count."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor labels: for each doc, the min component among its neighbors
         nb = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -81,6 +81,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 10)
         labels = new_labels
         if changed == 0:
             break
+        # truncate the logical-plan lineage every few rounds: iterative
+        # algorithms otherwise grow the plan linearly, inflating driver
+        # analysis time at high-diameter graphs (standard hygiene at scale)
+        if it % 4 == 3:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

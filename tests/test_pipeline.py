@@ -50,3 +50,25 @@ def test_failed_boards_agree(rs, sa):
 
 def test_first_fail_agree(rs, sa):
     _same(rs.first_fail(), A.first_fail(sa))
+
+
+def test_time_filter_pushdown(spark, smoke_sf_dir):
+    """S2/F1/F2: time-range predicates and column pruning must reach the
+    parquet scan (PushedFilters + 2-column ReadSchema), so an Iceberg days(ts)
+    layout prunes whole partitions from the same plan."""
+    from pyspark.sql import functions as F
+
+    from ictspark import io
+
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    df = t.where((F.col("ts") >= "2024-03-02") & (F.col("ts") < "2024-03-03")).select(
+        "conv_id", "ts"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+    # column pruning: scan reads only the 2 projected columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"conv_id", "ts"}
