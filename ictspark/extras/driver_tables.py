@@ -88,3 +88,47 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> Da
         F.date_format(F.min("ts"), TS_FMT).alias("sess_start"),
         F.date_format(F.max("ts"), TS_FMT).alias("sess_end"),
     )
+
+
+def tpch_q5like(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """Q5-style six-table star join (local-supplier volume): customer ⋈ orders
+    ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region, suppliers local to the customer's
+    nation, one region selected. Dims (supplier/nation/region/customer at this
+    ratio) broadcast; the fact side shuffles only for the order join + final
+    agg — Catalyst orders the joins, AQE handles any skewed nation."""
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    s = io.load_table(spark, sf_dir, "supplier")
+    n = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .where(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .where(r["r_name"] == region)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-ish fact⋈part rollup: per brand, item count + discounted revenue +
+    mean retail price (broadcast part dim, single fact shuffle for the agg)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    p = io.load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 2).alias(
+            "revenue"
+        ),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+    )

@@ -435,6 +435,26 @@ SELECT user_id, sess_no, COUNT(*) AS n_events,
        strftime(MAX(ts), '{_TSF}') AS sess_end
 FROM s GROUP BY 1, 2"""
 
+    q["tpch_q5like"] = """
+SELECT n_name,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1"""
+
+    q["parts_by_brand"] = """
+SELECT p_brand, COUNT(*) AS n_items,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       ROUND(AVG(p_retailprice), 2) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1"""
+
     q["top_customers"] = """
 SELECT c_custkey, c_name, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue,
        COUNT(*) AS n_orders
