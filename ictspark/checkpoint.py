@@ -58,8 +58,19 @@ class Lineage:
     def entries(self) -> list[dict]:
         if not os.path.exists(self.path):
             return []
+        out: list[dict] = []
         with open(self.path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # a crash mid-append can tear the FINAL line; dropping it
+                    # is safe — the commit it recorded simply reprocesses
+                    # (idempotent overwrite), which is the correct recovery
+                    continue
+        return out
 
     def committed(self) -> set[str]:
         return {e["partition"] for e in self.entries() if e.get("status") == "committed"}

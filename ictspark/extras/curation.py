@@ -4,11 +4,14 @@ These extend the dedup/similarity family into the operations a keep/drop
 pipeline actually runs at 100 TB:
 
 - ``dedup_components``: connected components over the MinHash-LSH candidate
-  graph by iterative min-label propagation — the alternating-star/hash-to-min
-  family used for web-scale dedup (each round is one equi-join + one groupBy;
-  rounds needed = O(log component diameter), driver loop only checks a count).
-  The DuckDB oracle computes ground-truth components via WITH RECURSIVE, so
-  the hash match proves the iteration converged to the true partition.
+  graph by iterative min-label propagation (each round is one equi-join + one
+  groupBy; plain hash-to-min needs O(component diameter) rounds — the
+  alternating-star variants get O(log d) at the cost of extra joins; near-dup
+  clusters are shallow, so the simple iteration wins here). The loop runs to
+  convergence and RAISES if the cap is hit, so a wrong partition can never be
+  returned silently. The DuckDB oracle computes ground-truth components via
+  WITH RECURSIVE, so the hash match proves the iteration converged to the
+  true partition.
 - ``stratified_sample``: deterministic hash-threshold sampling per document —
   reproducible across engines and runs (md5 prefix compare; granularity
   1/256 per hex pair). No RNG, no sampleBy seed drift.
@@ -30,7 +33,7 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 
 
-def dedup_components(documents: DataFrame, max_iter: int = 10) -> DataFrame:
+def dedup_components(documents: DataFrame, max_iter: int = 100) -> DataFrame:
     """(doc_id, component) for every doc; component = min doc_id reachable in
     the MinHash-LSH near-dup candidate graph (singletons map to themselves)."""
     pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b").persist()
@@ -48,13 +51,16 @@ def dedup_components(documents: DataFrame, max_iter: int = 10) -> DataFrame:
     return out
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 100) -> DataFrame:
     """Min-label propagation CC: label(v) ← min(label(v), min over neighbors'
-    labels) until no label changes. `nodes` has doc_id; `edges` has
-    (doc_a, doc_b) and must be SYMMETRIC (both directions present). Each round
-    is one shuffle on doc_id — the scale-correct CC shape (no driver-side
-    graph); the driver loop only reads a convergence count."""
+    labels) until no label changes — O(component diameter) rounds. `nodes` has
+    doc_id; `edges` has (doc_a, doc_b) and must be SYMMETRIC (both directions
+    present). Each round is one shuffle on doc_id — the scale-correct CC shape
+    (no driver-side graph); the driver loop only reads a convergence count.
+    Raises RuntimeError if max_iter rounds pass without convergence (an
+    un-converged partition must never be returned silently)."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
+    converged = False
     for it in range(max_iter):
         # neighbor labels: for each doc, the min component among its neighbors
         nb = (
@@ -80,12 +86,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 10)
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
         # truncate the logical-plan lineage every few rounds: iterative
         # algorithms otherwise grow the plan linearly, inflating driver
         # analysis time at high-diameter graphs (standard hygiene at scale)
         if it % 4 == 3:
-            labels = labels.localCheckpoint(eager=True)
+            ck = labels.localCheckpoint(eager=True)
+            labels.unpersist()  # the checkpoint replaces the cache — don't leak it
+            labels = ck
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     return labels
 
 
@@ -109,11 +121,15 @@ def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     toks = documents.select(
         "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).where(F.col("token") != "")
-    n_langs = documents.select("lang").distinct().count()
+    # lazy scalar, not a plan-construction-time action: the language count
+    # rides along as a broadcast 1-row frame (the oracle's scalar subquery)
+    nl = documents.agg(F.countDistinct("lang").cast("double").alias("n_langs"))
     tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "token").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_langs)) / F.col("df")), 6)
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(nl))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_langs") / F.col("df")), 6))
     )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "token")
     return (

@@ -115,3 +115,19 @@ def test_open_day_late_arrivals(spark, smoke_sf_dir):
         exp = _cold_routed(spark, smoke_sf_dir)
         assert got.count() == exp.count()
         assert got.select(*exp.columns).exceptAll(exp).count() == 0
+
+
+def test_lineage_tolerates_torn_tail(spark, smoke_sf_dir):
+    """A crash mid-append can tear the final lineage line; recovery must skip
+    it (the torn commit reprocesses idempotently) instead of failing forever."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        first = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        lin = CK.Lineage(f"{d}/ck")
+        n_committed = len(lin.committed())
+        with open(lin.path, "a") as f:
+            f.write('{"partition": "2024-99-99", "status": "comm')  # torn line
+        assert len(lin.committed()) == n_committed  # torn line skipped
+        again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        assert again == [max(first)]  # resume still works
