@@ -117,7 +117,14 @@ def run_incremental(
     lin = Lineage(ck_dir)
     done = lin.committed()
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
-    days = [r["_day"] for r in t.select("_day").distinct().orderBy("_day").collect()]
+    # NULL/unparseable ts rows have no day partition and are excluded from
+    # incremental ingest (dq_report surfaces them); a NULL in the day list
+    # would otherwise never match the isin() filter and wedge resume forever
+    days = [
+        r["_day"]
+        for r in t.select("_day").distinct().orderBy("_day").collect()
+        if r["_day"] is not None
+    ]
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
     if not todo:
@@ -147,8 +154,11 @@ def run_incremental(
             path = _routed_day_path(out_dir, day)
             routed.write.mode("overwrite").partitionBy("route_key").parquet(path)
             # row count from the committed bytes (parquet footer metadata) —
-            # no second parse+enrich pass
-            n = spark.read.parquet(path).count()
+            # no second parse+enrich pass. Explicit schema: a day whose rows
+            # were ALL newer-day duplicates writes zero data files, and a
+            # schema-less read of an empty directory would throw and wedge
+            # resume on that day forever.
+            n = spark.read.schema(routed.schema).parquet(path).count()
             metrics = {"rows": int(n), "duration_s": round(time.time() - t0, 3)}
             if day == open_day:
                 lin.mark_open(day, **metrics)

@@ -46,9 +46,12 @@ def dedup_components(documents: DataFrame, max_iter: int = 100) -> DataFrame:
     )
     edges.count()  # materialize while the pairs cache is alive (one LSH pass)
     pairs.unpersist()
-    out = connected_components(documents.select("doc_id"), edges, max_iter)
-    edges.unpersist()
-    return out
+    try:
+        # NOTE: the returned labels frame is materialized (persisted) — the
+        # caller may .unpersist() it when done with the result
+        return connected_components(documents.select("doc_id"), edges, max_iter)
+    finally:
+        edges.unpersist()
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 100) -> DataFrame:
@@ -143,7 +146,11 @@ def length_percentiles(documents: DataFrame) -> DataFrame:
     """Exact p50/p90/p99 of document length per language: value at rank
     ceil(q * n) under (length, doc_id) ordering — deterministic and portable,
     unlike engine-specific approx-percentile sketches."""
-    d = documents.select("lang", F.length("text").alias("n_chars"), "doc_id")
+    # NULL-safe length: Spark windows order NULLs first, DuckDB last — a NULL
+    # text would shift every rank differently per engine
+    d = documents.select(
+        "lang", F.length(F.coalesce("text", F.lit(""))).alias("n_chars"), "doc_id"
+    )
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     ranked = d.withColumn("rnk", F.row_number().over(w)).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))

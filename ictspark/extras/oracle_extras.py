@@ -346,7 +346,7 @@ SELECT lang, token, tf, df, tfidf, rank FROM (
 ) WHERE rank <= 5"""
 
     q["length_percentiles"] = """
-WITH d AS (SELECT lang, length(text) AS n_chars, doc_id FROM documents),
+WITH d AS (SELECT lang, length(COALESCE(text, '')) AS n_chars, doc_id FROM documents),
 r AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
          COUNT(*) OVER (PARTITION BY lang) AS n
@@ -383,14 +383,15 @@ b AS (
   FROM m
 ),
 s AS (
-  SELECT media_id, media_type, n,
+  SELECT media_id,
          SUM((strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
              + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS total
-  FROM b GROUP BY 1, 2, 3
+  FROM b GROUP BY 1
 )
-SELECT media_id, media_type, CAST(n AS BIGINT) AS n_bytes,
-       floor(total * 1.0 / n * 10000 + 0.5) / 10000 AS byte_mean
-FROM s"""
+SELECT m.media_id, m.media_type, CAST(m.n AS BIGINT) AS n_bytes,
+       CASE WHEN m.n = 0 THEN 0.0
+            ELSE floor(s.total * 1.0 / m.n * 10000 + 0.5) / 10000 END AS byte_mean
+FROM m LEFT JOIN s ON m.media_id = s.media_id"""
 
     # ------------------------- driver-table operator queries -------------------------
 

@@ -234,6 +234,9 @@ def embedding_dup_pairs(
     sized for the demo threshold 0.35 (verified = brute force on the test
     data — the DuckDB oracle still computes the brute-force label-blocked
     form); production near-dup thresholds (≥ 0.8) allow far fewer bands.
+    Recall is probabilistic, NOT guaranteed: if the fixtures or the threshold
+    change, re-verify against brute force and resize rows/bands (the
+    test_embedding_dup_pairs_bucketed_plan_and_recall test gates this).
     """
     e = _with_norm(embeddings)
     buckets = e.select(

@@ -30,11 +30,11 @@ def _fail() -> F.Column:
     return F.when(F.col("status") != "pass", 1).otherwise(0)
 
 
-def product_runs(es_a: DataFrame) -> DataFrame:
-    """Run grain scoped to one product view: per (route_key, conv_id, attempt),
-    a run's result considering only the steps routed to that product sink —
-    the analog of the reference's per-product logfile set."""
-    return es_a.groupBy("route_key", "conv_id", "attempt").agg(
+def _per_run(steps_a: DataFrame, *extra_keys: str) -> DataFrame:
+    """Shared per-run aggregation body: run start, failure flag, and the
+    sorted failed-step list — one definition so the global and per-product
+    reports cannot drift apart."""
+    return steps_a.groupBy(*extra_keys, "conv_id", "attempt").agg(
         F.min("ts").alias("run_ts"),
         F.max(_fail()).alias("any_fail"),
         F.array_join(
@@ -42,6 +42,13 @@ def product_runs(es_a: DataFrame) -> DataFrame:
             ", ",
         ).alias("failed_steps"),
     )
+
+
+def product_runs(es_a: DataFrame) -> DataFrame:
+    """Run grain scoped to one product view: per (route_key, conv_id, attempt),
+    a run's result considering only the steps routed to that product sink —
+    the analog of the reference's per-product logfile set."""
+    return _per_run(es_a, "route_key")
 
 
 def product_hourly(es_a: DataFrame) -> DataFrame:
@@ -112,14 +119,7 @@ def failed_boards_display(steps_a: DataFrame) -> DataFrame:
     """Global (non-product-scoped) A8 display variant of failed_boards: all
     runs of ever-failing convs, DMC blanked on repeat rows
     (daily_yield.rs:154-158)."""
-    per_run = steps_a.groupBy("conv_id", "attempt").agg(
-        F.min("ts").alias("run_ts"),
-        F.max(_fail()).alias("any_fail"),
-        F.array_join(
-            F.array_sort(F.collect_set(F.when(F.col("status") != "pass", F.col("step")))),
-            ", ",
-        ).alias("failed_steps"),
-    )
+    per_run = _per_run(steps_a)
     conv_any = F.max("any_fail").over(Window.partitionBy("conv_id"))
     d = per_run.withColumn("conv_any_fail", conv_any).where("conv_any_fail = 1")
     return d.select(

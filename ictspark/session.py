@@ -23,7 +23,8 @@ def shuffle_partitions_for(cores: int, cluster: bool | None = None) -> int:
       safe there. Enable with cluster=True or ICTSPARK_CLUSTER=1.
     """
     if cluster is None:
-        cluster = os.environ.get("ICTSPARK_CLUSTER", "0") not in ("", "0", "false")
+        raw = os.environ.get("ICTSPARK_CLUSTER", "0").strip().lower()
+        cluster = raw not in ("", "0", "false", "no", "off")
     return max(3 * cores if cluster else cores, 16)
 
 

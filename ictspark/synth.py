@@ -268,6 +268,15 @@ def ensure(sf_name: str) -> str:
             if m.get("gen_version") == GEN_VERSION and m.get("n_files") == N_FILES[sf_name]:
                 return out
     os.makedirs(out, exist_ok=True)
+    # clear any prior transcripts output: a regeneration with fewer part files
+    # (or a file<->directory shape change) must not leave stale parts behind
+    tpath = os.path.join(out, "transcripts.parquet")
+    if os.path.isdir(tpath):
+        import shutil
+
+        shutil.rmtree(tpath)
+    elif os.path.exists(tpath):
+        os.remove(tpath)
     rng = np.random.RandomState(SEED + _crc(sf_name) % 1000)
     pool = step_pool()
     changed = limit_changes_steps(pool)
