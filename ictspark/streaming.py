@@ -124,6 +124,32 @@ def first_fail_stream(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def product_hourly_stream(
+    transcripts: DataFrame, tool_dim: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming slice of the write_product hourly section: watermarked 1 h
+    tumbling window per (route_key, status) at step grain (run-grain attempt
+    ranking needs the full conv history, so the stream reports the step-level
+    pass/fail mix per product per hour — the live dashboard view; the batch
+    product_hourly remains the end-of-day authoritative report)."""
+    from ictspark import enrich
+
+    steps = parse.parse_steps(transcripts)
+    steps = steps.withColumn("ts", F.col("ts").cast(TimestampType()))
+    es = enrich.enrich_steps(steps, tool_dim)
+    return (
+        es.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "route_key", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "route_key",
+            "status",
+            "n",
+        )
+    )
+
+
 def dedupe_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming T4: exactly-once-ish ingest dedupe on (conv_id, turn_idx)
     with bounded state — dropDuplicatesWithinWatermark evicts keys older than

@@ -111,3 +111,33 @@ def test_dedupe_stream_drops_duplicates(spark, stream_src, smoke_sf_dir):
         assert len(keys) == len(set(keys)), "duplicate keys leaked through"
         exp = io.load_transcripts(spark, smoke_sf_dir).select("conv_id", "turn_idx").distinct().count()
         assert len(set(keys)) == exp
+
+
+def test_product_hourly_stream_equals_batch(spark, stream_src, smoke_sf_dir):
+    """Streaming per-product hourly slice == the same step-grain aggregate
+    computed in batch (closed windows; trailing open windows may be withheld)."""
+    from ictspark import enrich
+
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    s = streaming.read_transcript_stream(spark, stream_src)
+    agg = streaming.product_hourly_stream(s, tool_dim)
+    with tempfile.TemporaryDirectory() as ck:
+        rows = streaming.run_available_now(agg, ck, output_mode="append")
+    got = {(r["hour"], r["route_key"], r["status"]): r["n"] for r in rows}
+    steps = parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir))
+    es = enrich.enrich_steps(steps, tool_dim)
+    exp_rows = (
+        es.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "route_key",
+            "status",
+        )
+        .count()
+        .collect()
+    )
+    exp = {(r["hour"], r["route_key"], r["status"]): r["count"] for r in exp_rows}
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+    missing_hours = {k[0] for k in exp} - {k[0] for k in got}
+    assert len(missing_hours) <= 2  # only trailing open windows withheld
