@@ -159,7 +159,13 @@ def run_incremental(
             # schema-less read of an empty directory would throw and wedge
             # resume on that day forever.
             n = spark.read.schema(routed.schema).parquet(path).count()
-            metrics = {"rows": int(n), "duration_s": round(time.time() - t0, 3)}
+            # "mode" keeps lineage rows schema-homogeneous across entry points
+            # (createDataFrame over mixed-key dicts would fail in metrics)
+            metrics = {
+                "rows": int(n),
+                "duration_s": round(time.time() - t0, 3),
+                "mode": "incremental",
+            }
             if day == open_day:
                 lin.mark_open(day, **metrics)
             else:
@@ -171,6 +177,72 @@ def run_incremental(
     finally:
         batch.unpersist()
     return processed
+
+
+def backfill(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    tool_dim: DataFrame,
+    out_dir: str,
+    ck_dir: str,
+    commit_open_day: bool = False,
+) -> list[str]:
+    """Cold-start ingest: ONE partitioned write covers every uncommitted day
+    instead of one Spark job per day (a 365-day backlog is 1 job, not 365).
+
+    Dynamic partition overwrite replaces only the (day, route_key) partitions
+    present in the batch — committed days on disk are untouched, so the write
+    is idempotent and a crash before the commit loop simply reruns. Lineage
+    commits happen per day AFTER the write succeeds, from footer-metadata
+    counts; the open (max) day is written but left uncommitted exactly as in
+    run_incremental. The two entry points share layout and lineage, so a
+    backfill can be continued by run_incremental cycles and vice versa.
+    """
+    lin = Lineage(ck_dir)
+    done = lin.committed()
+    t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+    days = [
+        r["_day"]
+        for r in t.select("_day").distinct().orderBy("_day").collect()
+        if r["_day"] is not None
+    ]
+    open_day = days[-1] if days and not commit_open_day else None
+    todo = [d for d in days if d not in done]
+    if not todo:
+        return []
+    from ictspark.io import dedupe_transcripts
+
+    t0 = time.time()
+    batch = dedupe_transcripts(t.where(F.col("_day").isin(todo)))
+    steps = parse.parse_steps(batch.drop("_day"))
+    routed = (
+        enrich.enrich_steps(steps, tool_dim)
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .repartition(F.col("day"), F.col("route_key"))
+    )
+    (
+        routed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day", "route_key")
+        .parquet(out_dir)
+    )
+    wall = round(time.time() - t0, 3)
+    # per-day row counts from the committed bytes (footer metadata only)
+    counts = {
+        r["day"]: r["n"]
+        for r in spark.read.option("basePath", out_dir)
+        .parquet(*[_routed_day_path(out_dir, d) for d in todo])
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for day in todo:
+        metrics = {"rows": int(counts.get(day, 0)), "duration_s": wall, "mode": "backfill"}
+        if day == open_day:
+            lin.mark_open(day, **metrics)
+        else:
+            lin.commit(day, **metrics)
+    return todo
 
 
 def read_all_routed(spark: SparkSession, out_dir: str) -> DataFrame:

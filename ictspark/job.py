@@ -56,7 +56,10 @@ def cmd_incremental(args: argparse.Namespace) -> None:
     spark = _spark()
     t = spark.read.parquet(args.transcripts)
     tool_dim = spark.read.parquet(args.tool_dim)
-    processed = CK.run_incremental(
+    # --backfill: one partitioned write for the whole uncommitted backlog
+    # (cold start); the default per-day loop is the steady-state cycle
+    fn = CK.backfill if args.backfill else CK.run_incremental
+    processed = fn(
         spark,
         t,
         tool_dim,
@@ -64,7 +67,14 @@ def cmd_incremental(args: argparse.Namespace) -> None:
         args.checkpoint,
         commit_open_day=args.commit_open_day,
     )
-    print(json.dumps({"mode": "incremental", "partitions_processed": processed}))
+    print(
+        json.dumps(
+            {
+                "mode": "backfill" if args.backfill else "incremental",
+                "partitions_processed": processed,
+            }
+        )
+    )
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -81,6 +91,7 @@ def main(argv: list[str] | None = None) -> None:
             # continuous mode leaves the max day open (rewritten next cycle);
             # set this for a known-complete backfill so the last day closes too
             s.add_argument("--commit-open-day", action="store_true")
+            s.add_argument("--backfill", action="store_true")
         s.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

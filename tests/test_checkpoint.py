@@ -131,3 +131,28 @@ def test_lineage_tolerates_torn_tail(spark, smoke_sf_dir):
         assert len(lin.committed()) == n_committed  # torn line skipped
         again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
         assert again == [max(first)]  # resume still works
+
+
+def test_backfill_equals_cold_and_interops(spark, smoke_sf_dir):
+    """One-write backfill == cold run; lineage commits every closed day; a
+    later run_incremental cycle continues from the same checkpoint (only the
+    open day is reprocessed)."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        processed = CK.backfill(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        assert len(processed) > 2
+        got = CK.read_all_routed(spark, f"{d}/out").drop("day")
+        exp = _cold_routed(spark, smoke_sf_dir)
+        assert got.count() == exp.count()
+        assert got.select(*exp.columns).exceptAll(exp).count() == 0
+        lin = CK.Lineage(f"{d}/ck")
+        assert lin.committed() == set(processed[:-1])  # open day not committed
+        # lineage metrics homogeneous + correct totals
+        m = {r["partition"]: r["rows"] for r in CK.lineage_metrics(spark, f"{d}/ck").collect()}
+        assert sum(m.values()) == exp.count()
+        # an incremental cycle continues the same checkpoint seamlessly
+        again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        assert again == [max(processed)]
+        got2 = CK.read_all_routed(spark, f"{d}/out").drop("day")
+        assert got2.count() == exp.count()
