@@ -33,6 +33,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines transcript source (the common raw LLM-transcript dump
+    format): declared schema, never inferred — a schema-inference pass over
+    100 TB of JSON is itself a full scan."""
+    from ictspark.schema import TRANSCRIPTS
+
+    return spark.read.schema(TRANSCRIPTS).json(path)
+
+
+def load_raw_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Raw per-conversation text-file source — the reference's actual input
+    shape (one logfile per board, /root/reference/src/main.rs:441-505):
+    every file becomes one conv, turns split on blank lines, conv_id from the
+    filename, turn_idx by position. Returns (conv_id, turn_idx, text); ts and
+    role/tool live inside the text markers at this layer (the parse stage
+    extracts them), matching the reference where the filename+content carry
+    everything. wholetext keeps one file per row; reads parallelize per file."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path, wholetext=True).withColumn(
+        "conv_id",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.(?:log|txt)$", 1),
+    )
+    # 0-based turn numbering, matching the transcripts-table convention
+    return raw.select(
+        "conv_id",
+        F.posexplode(F.split(F.col("value"), r"\n\n")).alias("turn_idx", "text"),
+    )
+
+
 def dedupe_transcripts(df: DataFrame) -> DataFrame:
     """Newest-wins dedupe on (conv_id, turn_idx) — the reference ingests
     newest-first and its push-dedupe therefore keeps the newest copy
