@@ -227,15 +227,21 @@ def backfill(
         .parquet(out_dir)
     )
     wall = round(time.time() - t0, 3)
-    # per-day row counts from the committed bytes (footer metadata only)
-    counts = {
-        r["day"]: r["n"]
-        for r in spark.read.option("basePath", out_dir)
-        .parquet(*[_routed_day_path(out_dir, d) for d in todo])
-        .groupBy(F.col("day").cast("string").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # per-day row counts from the committed bytes (footer metadata only). A
+    # todo day whose rows were ALL newer-day duplicates writes no directory —
+    # skip the missing path and commit it with rows=0 (its rows live in the
+    # newer day), instead of failing the read forever.
+    written = [d for d in todo if os.path.isdir(_routed_day_path(out_dir, d))]
+    counts: dict[str, int] = {}
+    if written:
+        counts = {
+            r["day"]: r["n"]
+            for r in spark.read.option("basePath", out_dir)
+            .parquet(*[_routed_day_path(out_dir, d) for d in written])
+            .groupBy(F.col("day").cast("string").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     for day in todo:
         metrics = {"rows": int(counts.get(day, 0)), "duration_s": wall, "mode": "backfill"}
         if day == open_day:

@@ -156,3 +156,32 @@ def test_backfill_equals_cold_and_interops(spark, smoke_sf_dir):
         assert again == [max(processed)]
         got2 = CK.read_all_routed(spark, f"{d}/out").drop("day")
         assert got2.count() == exp.count()
+
+
+def test_fully_deduped_day_commits_empty(spark, smoke_sf_dir):
+    """A day whose every (conv_id, turn_idx) key reappears with a NEWER ts in
+    a later day loses all rows to the dedupe; both entry points must commit it
+    (rows=0) instead of wedging, and the store must equal the deduped input."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    min_day = t.select(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    first_day = t.where(F.to_date("ts") == F.lit(min_day))
+    # replay every first-day row 3 days later (newer ts wins the dedupe)
+    replayed = first_day.withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
+    t2 = t.unionByName(replayed)
+    for mode in ("backfill", "loop"):
+        with tempfile.TemporaryDirectory() as d:
+            if mode == "backfill":
+                CK.backfill(spark, t2, tool_dim, f"{d}/out", f"{d}/ck")
+            else:
+                CK.run_incremental(spark, t2, tool_dim, f"{d}/out", f"{d}/ck")
+            lin = CK.Lineage(f"{d}/ck")
+            by_day = {e["partition"]: e for e in lin.entries()}
+            assert str(min_day) in by_day, mode
+            assert by_day[str(min_day)]["rows"] == 0, mode
+            got = CK.read_all_routed(spark, f"{d}/out").drop("day")
+            from ictspark import enrich, parse
+            from ictspark.io import dedupe_transcripts
+
+            exp = enrich.enrich_steps(parse.parse_steps(dedupe_transcripts(t2)), tool_dim)
+            assert got.count() == exp.count(), mode
