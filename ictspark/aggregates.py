@@ -370,6 +370,48 @@ def step_value_stats(steps_a: DataFrame) -> DataFrame:
     )
 
 
+def step_series(steps_a: DataFrame, step: str = "r210", board_idx: int | None = None) -> DataFrame:
+    """The per-test plot view (main.rs:1014-1083): time-ordered measurement
+    series for ONE selected step — (ts, conv, panel index, value, limits,
+    status) — optionally filtered to a panel position (F5, clamp at the UI
+    layer). Equality filters prune at the scan; the ordering column set makes
+    rows deterministic."""
+    s = steps_a.where((F.col("step") == step) & F.col("value").isNotNull())
+    if board_idx is not None:
+        s = s.where(F.col("board_idx") == board_idx)
+    return s.select(
+        fmt_ts("ts"),
+        "conv_id",
+        "board_idx",
+        "attempt",
+        "value",
+        "lo",
+        "nom",
+        "hi",
+        "status",
+    )
+
+
+def mb_result_boxes(steps_a: DataFrame) -> DataFrame:
+    """The multiboard result-box row (draw_result_box, main.rs:1248,1390-1403):
+    per (session, attempt) one row with the per-position results laid out in
+    board_idx order as 'idx:result' cells — the panel strip the reference
+    paints, as data."""
+    r = runs(steps_a)
+    cells = F.transform(
+        F.array_sort(F.collect_list(F.struct("board_idx", "result"))),
+        lambda s: F.concat_ws(":", s["board_idx"].cast("string"), s["result"]),
+    )
+    return (
+        r.groupBy("session_id", "attempt")
+        .agg(
+            F.date_format(F.min("run_ts"), TS_FMT).alias("run_ts"),
+            F.array_join(cells, " ").alias("boxes"),
+            F.sum(F.when(F.col("any_fail") == 1, 1).otherwise(0)).alias("n_fail"),
+        )
+    )
+
+
 def conv_reports(transcripts: DataFrame) -> DataFrame:
     """Raw per-conv report reconstruction (get_report_for_SB analog,
     log_info_window.rs:27-54): full conversation text, turns in order.

@@ -166,6 +166,21 @@ FROM steps_a
 GROUP BY 1, 2
 HAVING MAX(CASE WHEN status <> 'pass' THEN 1 ELSE 0 END) = 1"""
 
+    q["step_series"] = p + f"""
+SELECT strftime(ts, '{_TSF}') AS ts, conv_id, board_idx, attempt,
+       "value" AS value, lo, nom, hi, status
+FROM steps_a
+WHERE step = 'r210' AND "value" IS NOT NULL"""
+
+    q["mb_result_boxes"] = p + f"""
+SELECT session_id, attempt,
+       strftime(MIN(run_ts), '{_TSF}') AS run_ts,
+       string_agg(CAST(board_idx AS VARCHAR) || ':'
+                  || CASE WHEN any_fail = 1 THEN 'fail' ELSE 'pass' END,
+                  ' ' ORDER BY board_idx) AS boxes,
+       CAST(SUM(any_fail) AS BIGINT) AS n_fail
+FROM runs GROUP BY 1, 2"""
+
     q["retest_counts"] = p + """
 SELECT step, COUNT(*) AS n_exec,
        CAST(SUM(CASE WHEN attempt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retest,
