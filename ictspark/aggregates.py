@@ -392,6 +392,33 @@ def step_series(steps_a: DataFrame, step: str = "r210", board_idx: int | None = 
     )
 
 
+def step_histogram(steps_a: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Measurement distribution per step (the plot view's histogram):
+    ``n_bins`` equal-width bins across [lo, hi], out-of-range clamped into the
+    edge bins — per (step, bin): count + bin edges. Pure double arithmetic,
+    identical in both engines."""
+    v = steps_a.where(F.col("value").isNotNull() & F.col("lo").isNotNull())
+    # per-step FIXED edges (limits can change mid-stream — A6 — so edges come
+    # from the step's overall [min lo, max hi] envelope, broadcast back)
+    ext = v.groupBy("step").agg(F.min("lo").alias("blo"), F.max("hi").alias("bhi"))
+    j = v.join(F.broadcast(ext), "step").where(F.col("bhi") > F.col("blo"))
+    width = (F.col("bhi") - F.col("blo")) / F.lit(float(n_bins))
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n_bins - 1), F.floor((F.col("value") - F.col("blo")) / width).cast("int")),
+    )
+    return (
+        j.withColumn("bin", bin_)
+        .groupBy("step", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("blo") + F.min("bin") * (F.max("bhi") - F.min("blo")) / n_bins, 6).alias(
+                "bin_lo"
+            ),
+        )
+    )
+
+
 def mb_result_boxes(steps_a: DataFrame) -> DataFrame:
     """The multiboard result-box row (draw_result_box, main.rs:1248,1390-1403):
     per (session, attempt) one row with the per-position results laid out in

@@ -181,6 +181,22 @@ SELECT session_id, attempt,
        CAST(SUM(any_fail) AS BIGINT) AS n_fail
 FROM runs GROUP BY 1, 2"""
 
+    q["step_histogram"] = p + """
+, v AS (
+  SELECT step, "value" AS x, lo, hi FROM steps_a
+  WHERE "value" IS NOT NULL AND lo IS NOT NULL
+),
+ext AS (SELECT step, MIN(lo) AS blo, MAX(hi) AS bhi FROM v GROUP BY 1),
+j AS (SELECT v.step, v.x, e.blo, e.bhi FROM v JOIN ext e ON v.step = e.step WHERE e.bhi > e.blo),
+b AS (
+  SELECT step, blo, bhi,
+         GREATEST(0, LEAST(9, CAST(FLOOR((x - blo) / ((bhi - blo) / 10.0)) AS INT))) AS bin
+  FROM j
+)
+SELECT step, bin, COUNT(*) AS n,
+       ROUND(MIN(blo) + MIN(bin) * (MAX(bhi) - MIN(blo)) / 10, 6) AS bin_lo
+FROM b GROUP BY 1, 2"""
+
     q["retest_counts"] = p + """
 SELECT step, COUNT(*) AS n_exec,
        CAST(SUM(CASE WHEN attempt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retest,
