@@ -439,6 +439,32 @@ def mb_result_boxes(steps_a: DataFrame) -> DataFrame:
     )
 
 
+def step_cpk_trend(steps_a: DataFrame) -> DataFrame:
+    """Process-capability TREND: step_value_stats sliced per day — per
+    (step, day): n, mean, stddev, cpk. The drift view a test engineer watches
+    (the reference recomputes capability over whatever window is loaded; the
+    trend makes the time dimension explicit). Same explicit sum/sum-of-squares
+    math so the oracle matches bit-for-bit."""
+    v = steps_a.where(F.col("value").isNotNull() & F.col("lo").isNotNull())
+    agg = v.groupBy("step", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return agg.where(F.col("n") > 1).select(
+        "step",
+        "day",
+        "n",
+        F.round(mean, 2).alias("mean"),
+        F.round(sd, 2).alias("stddev"),
+        F.round(F.least(F.col("hi") - mean, mean - F.col("lo")) / (3 * sd), 2).alias("cpk"),
+    )
+
+
 def conv_reports(transcripts: DataFrame) -> DataFrame:
     """Raw per-conv report reconstruction (get_report_for_SB analog,
     log_info_window.rs:27-54): full conversation text, turns in order.

@@ -181,6 +181,22 @@ SELECT session_id, attempt,
        CAST(SUM(any_fail) AS BIGINT) AS n_fail
 FROM runs GROUP BY 1, 2"""
 
+    q["step_cpk_trend"] = p + """
+, v AS (
+  SELECT step, strftime(ts, '%Y-%m-%d') AS day, "value" AS x, lo, hi
+  FROM steps_a WHERE "value" IS NOT NULL AND lo IS NOT NULL
+),
+a AS (
+  SELECT step, day, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS s1,
+         CAST(SUM(x * x) AS DOUBLE) AS s2, MIN(lo) AS lo, MAX(hi) AS hi
+  FROM v GROUP BY 1, 2
+)
+SELECT step, day, n, ROUND(s1 / n, 2) AS mean,
+       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) AS stddev,
+       ROUND(least(hi - s1 / n, s1 / n - lo)
+             / (3 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cpk
+FROM a WHERE n > 1"""
+
     q["step_histogram"] = p + """
 , v AS (
   SELECT step, "value" AS x, lo, hi FROM steps_a
