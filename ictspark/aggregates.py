@@ -355,7 +355,10 @@ def step_value_stats(steps_a: DataFrame) -> DataFrame:
         ).alias("n_out"),
     )
     mean = F.col("s1") / F.col("n")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    # same epsilon-negative-variance clamp as step_cpk_trend (ADVICE r02)
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), F.lit(0.0)
+    )
     sd = F.sqrt(var)
     return agg.where(F.col("n") > 1).select(
         "step",
@@ -454,7 +457,13 @@ def step_cpk_trend(steps_a: DataFrame) -> DataFrame:
         F.max("hi").alias("hi"),
     )
     mean = F.col("s1") / F.col("n")
-    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    # clamp: float summation order can push s2 - s1²/n epsilon-negative in one
+    # engine only (Spark sqrt → NaN, DuckDB sqrt → hard error); identical
+    # greatest(var, 0) on both sides keeps them bit-compatible (ADVICE r02)
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), F.lit(0.0)
+    )
+    sd = F.sqrt(var)
     return agg.where(F.col("n") > 1).select(
         "step",
         "day",

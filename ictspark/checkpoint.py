@@ -97,6 +97,30 @@ def _routed_day_path(out_dir: str, day: str) -> str:
     return os.path.join(out_dir, f"day={day}")
 
 
+def _record_skipped_committed(
+    lin: Lineage, day_counts: dict[str, int], done: set[str], mode: str
+) -> None:
+    """Observability for the committed-day immutability rule (ADVICE r02):
+    input rows whose day is already committed are dropped — by protocol, not
+    by accident — but a silent drop hides the one divergence from the
+    reference's push-dedupe (a duplicate key whose older copy sits in a
+    committed day keeps BOTH copies in the store). Record the per-day dropped
+    counts as lineage events so operators can see them (zero in the normal
+    tail-append flow; non-zero means a producer re-pushed history)."""
+    for day in sorted(day_counts):
+        if day in done and day_counts[day] > 0:
+            lin.append(
+                {
+                    "partition": day,
+                    "status": "skipped_committed",
+                    "at": time.time(),
+                    "rows": int(day_counts[day]),
+                    "duration_s": 0.0,
+                    "mode": mode,
+                }
+            )
+
+
 def run_incremental(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -119,14 +143,18 @@ def run_incremental(
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
     # NULL/unparseable ts rows have no day partition and are excluded from
     # incremental ingest (dq_report surfaces them); a NULL in the day list
-    # would otherwise never match the isin() filter and wedge resume forever
-    days = [
-        r["_day"]
-        for r in t.select("_day").distinct().orderBy("_day").collect()
+    # would otherwise never match the isin() filter and wedge resume forever.
+    # groupBy-count instead of distinct: same single shuffle also yields the
+    # per-day input row counts used for the skipped-committed metric below.
+    day_counts = {
+        r["_day"]: r["n"]
+        for r in t.groupBy("_day").agg(F.count(F.lit(1)).alias("n")).collect()
         if r["_day"] is not None
-    ]
+    }
+    days = sorted(day_counts)
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
+    _record_skipped_committed(lin, day_counts, done, "incremental")
     if not todo:
         return []
     # T4: ONE dedupe over the whole uncommitted slice — duplicate
@@ -197,22 +225,39 @@ def backfill(
     counts; the open (max) day is written but left uncommitted exactly as in
     run_incremental. The two entry points share layout and lineage, so a
     backfill can be continued by run_incremental cycles and vice versa.
+
+    Uncommitted on-disk day dirs are DELETED before the write (ADVICE r02
+    medium): dynamic overwrite only replaces partitions present in the current
+    batch, so a day written open by an earlier cycle would otherwise keep
+    stale files when its rows are later deduped away to a newer day (or a
+    route_key vanishes) — and the stale dir would then be committed with stale
+    non-zero counts, double-counting against the rows' newer-day copies.
+    Todo days are uncommitted by definition, so their on-disk state is
+    disposable; committed days are never touched.
     """
+    import shutil
+
     lin = Lineage(ck_dir)
     done = lin.committed()
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
-    days = [
-        r["_day"]
-        for r in t.select("_day").distinct().orderBy("_day").collect()
+    day_counts = {
+        r["_day"]: r["n"]
+        for r in t.groupBy("_day").agg(F.count(F.lit(1)).alias("n")).collect()
         if r["_day"] is not None
-    ]
+    }
+    days = sorted(day_counts)
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
+    _record_skipped_committed(lin, day_counts, done, "backfill")
     if not todo:
         return []
     from ictspark.io import dedupe_transcripts
 
     t0 = time.time()
+    for day in todo:
+        stale = _routed_day_path(out_dir, day)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     batch = dedupe_transcripts(t.where(F.col("_day").isin(todo)))
     steps = parse.parse_steps(batch.drop("_day"))
     routed = (
@@ -252,6 +297,16 @@ def backfill(
 
 
 def read_all_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Full routed store.
+
+    Consumer caveat (committed-day immutability, ADVICE r02): a duplicate
+    (conv_id, turn_idx) key whose OLDER copy lives in an already-committed day
+    is kept in BOTH days — ingest dedupe spans only the uncommitted slice, and
+    committed days are immutable by protocol. The drop of the would-be rewrite
+    is recorded as `skipped_committed` lineage events (see
+    _record_skipped_committed); consumers needing strict one-copy semantics
+    over a store with re-pushed history should apply io.dedupe_transcripts on
+    read (it is the same newest-wins window)."""
     return spark.read.option("basePath", out_dir).parquet(os.path.join(out_dir, "day=*"))
 
 

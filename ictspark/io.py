@@ -49,15 +49,30 @@ def load_raw_logs(spark: SparkSession, path: str) -> DataFrame:
     filename, turn_idx by position. Returns (conv_id, turn_idx, text); ts and
     role/tool live inside the text markers at this layer (the parse stage
     extracts them), matching the reference where the filename+content carry
-    everything. wholetext keeps one file per row; reads parallelize per file."""
+    everything. wholetext keeps one file per row; reads parallelize per file.
+
+    Format contract: only ``*.log`` / ``*.txt`` files are read (pathGlobFilter
+    at the scan — a stray README in the directory would otherwise merge into a
+    bogus '' conversation), and turns must not contain blank lines INSIDE a
+    turn: the blank line IS the turn delimiter, exactly as the reference's
+    logfile format uses its record separators. A turn containing an interior
+    blank line splits into two turns (the roundtrip reassembly_check catches
+    this if it matters for a given corpus)."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.text(path, wholetext=True).withColumn(
-        "conv_id",
-        F.regexp_extract(F.input_file_name(), r"([^/]+)\.(?:log|txt)$", 1),
+    raw = (
+        spark.read.option("pathGlobFilter", "*.{log,txt}")
+        .text(path, wholetext=True)
+        .withColumn(
+            "conv_id",
+            F.regexp_extract(F.input_file_name(), r"([^/]+)\.(?:log|txt)$", 1),
+        )
     )
-    # 0-based turn numbering, matching the transcripts-table convention
-    return raw.select(
+    # 0-based turn numbering, matching the transcripts-table convention.
+    # Belt-and-braces: drop any row that still ended with an empty conv_id
+    # (e.g. a file matched by a user-supplied glob but not by the name regex)
+    # rather than silently merging such files into one conversation.
+    return raw.where(F.col("conv_id") != "").select(
         "conv_id",
         F.posexplode(F.split(F.col("value"), r"\n\n")).alias("turn_idx", "text"),
     )

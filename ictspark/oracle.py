@@ -192,9 +192,9 @@ a AS (
   FROM v GROUP BY 1, 2
 )
 SELECT step, day, n, ROUND(s1 / n, 2) AS mean,
-       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) AS stddev,
+       ROUND(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)), 2) AS stddev,
        ROUND(least(hi - s1 / n, s1 / n - lo)
-             / (3 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cpk
+             / (3 * sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0))), 2) AS cpk
 FROM a WHERE n > 1"""
 
     q["step_histogram"] = p + """
@@ -413,10 +413,10 @@ a AS (
   FROM v GROUP BY 1
 )
 SELECT step, n, ROUND(s1 / n, 2) AS mean,
-       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) AS stddev,
+       ROUND(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)), 2) AS stddev,
        n_out,
-       ROUND((hi - lo) / (6 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cp,
-       ROUND(least(hi - s1 / n, s1 / n - lo) / (3 * sqrt((s2 - s1 * s1 / n) / (n - 1))), 2) AS cpk
+       ROUND((hi - lo) / (6 * sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0))), 2) AS cp,
+       ROUND(least(hi - s1 / n, s1 / n - lo) / (3 * sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0))), 2) AS cpk
 FROM a WHERE n > 1"""
 
     q["first_fail_reports"] = p + f"""

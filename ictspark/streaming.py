@@ -155,7 +155,17 @@ def dedupe_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> Data
     with bounded state — dropDuplicatesWithinWatermark evicts keys older than
     the event-time watermark, the streaming analog of the batch
     `io.dedupe_transcripts` + the reference's push-dedupe over its 5 s overlap
-    window (main.rs:494-497)."""
+    window (main.rs:494-497).
+
+    DIVERGENCE vs batch (documented per ADVICE r02): this keeps the FIRST
+    arrival per key, while the batch ``io.dedupe_transcripts`` keeps the
+    NEWEST-``ts`` copy. The two agree only when duplicate payloads are
+    byte-identical (a re-push of the same rows — the reference's actual
+    duplicate source, a rescan of the 5 s overlap). A source that re-pushes a
+    key with UPDATED content/ts must go through the batch/incremental path
+    (checkpoint.run_incremental), whose newest-wins window is authoritative;
+    there is no bounded-state streaming operator that retroactively replaces
+    an already-emitted older row (test_streaming pins this contract)."""
     t = transcripts.withColumn("ts", F.col("ts").cast(TimestampType()))
     return t.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]

@@ -40,8 +40,9 @@ def test_resume_after_crash(spark, smoke_sf_dir):
         # resume: must process ONLY the remaining partitions
         processed = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
         assert set(processed).isdisjoint(committed_before)
-        # no partition committed twice
-        parts = [e["partition"] for e in lin.entries()]
+        # no partition committed twice (skipped_committed events may repeat a
+        # partition — they record re-pushed input for committed days)
+        parts = [e["partition"] for e in lin.entries() if e.get("status") == "committed"]
         assert len(parts) == len(set(parts))
         # final state equals cold run. Multiset equality via |A|==|B| and
         # A∖B==∅ (the reverse exceptAll trips a Spark 4.1 internal bug —
@@ -156,6 +157,55 @@ def test_backfill_equals_cold_and_interops(spark, smoke_sf_dir):
         assert again == [max(processed)]
         got2 = CK.read_all_routed(spark, f"{d}/out").drop("day")
         assert got2.count() == exp.count()
+
+
+def test_backfill_removes_stale_open_day_dir(spark, smoke_sf_dir):
+    """ADVICE r02 (medium): a day written OPEN by an earlier backfill cycle
+    keeps stale on-disk files when a later cycle's dedupe moves all its rows to
+    a newer day — dynamic partition overwrite only replaces partitions present
+    in the new batch. The fix deletes uncommitted day dirs before the write, so
+    the day commits rows=0 and the store holds exactly the deduped rows."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    max_day = t.select(F.max(F.to_date("ts")).alias("d")).first()["d"]
+    open_rows = t.where(F.to_date("ts") == F.lit(max_day))
+    replayed = open_rows.withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
+    with tempfile.TemporaryDirectory() as d:
+        # cycle 1: max_day is the open day — written to disk, NOT committed
+        CK.backfill(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        # cycle 2: every open-day key re-pushed with newer ts on a later day —
+        # the dedupe empties max_day, so its cycle-1 files are stale
+        t2 = t.unionByName(replayed)
+        CK.backfill(spark, t2, tool_dim, f"{d}/out", f"{d}/ck")
+        lin = CK.Lineage(f"{d}/ck")
+        by_day = {e["partition"]: e for e in lin.entries() if e.get("status") == "committed"}
+        assert str(max_day) in by_day
+        assert by_day[str(max_day)]["rows"] == 0  # stale dir would make this non-zero
+        got = CK.read_all_routed(spark, f"{d}/out").drop("day")
+        from ictspark.io import dedupe_transcripts
+
+        exp = enrich.enrich_steps(parse.parse_steps(dedupe_transcripts(t2)), tool_dim)
+        assert got.count() == exp.count()  # no double-counted stale rows
+        assert got.select(*exp.columns).exceptAll(exp).count() == 0
+
+
+def test_skipped_committed_rows_are_observable(spark, smoke_sf_dir):
+    """ADVICE r02: rows arriving for already-committed days are dropped by
+    protocol; the drop must be visible as skipped_committed lineage events."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck", commit_open_day=True)
+        lin = CK.Lineage(f"{d}/ck")
+        assert not [e for e in lin.entries() if e.get("status") == "skipped_committed"]
+        # every day now committed: a full re-push is dropped — and recorded
+        CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck", commit_open_day=True)
+        skipped = [e for e in lin.entries() if e.get("status") == "skipped_committed"]
+        assert skipped
+        assert sum(e["rows"] for e in skipped) == t.count()
+        # the metrics surface still loads (schema-homogeneous events)
+        m = CK.lineage_metrics(spark, f"{d}/ck")
+        assert m.where(F.col("status") == "skipped_committed").count() == len(skipped)
 
 
 def test_fully_deduped_day_commits_empty(spark, smoke_sf_dir):
