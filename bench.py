@@ -22,7 +22,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from ictspark import io, parse
-from ictspark import product_report as PR
 from ictspark import route as R
 from ictspark.pipeline import ReportSet
 from ictspark.session import get_spark
@@ -64,11 +63,12 @@ def main() -> None:
         timed("first_fail", lambda: rs.first_fail().count())
         timed("failed_boards", lambda: rs.failed_boards().count())
         timed("route_counts", lambda: rs.route_counts().collect())
-        timed(
-            "product_daily_failures",
-            lambda: PR.product_daily_failures(rs.enriched()).count(),
-        )
-        timed("product_hourly", lambda: PR.product_hourly(rs.enriched()).count())
+        # the product composite shares ONE materialized product_runs table
+        # (r03: product_hourly pays the shuffle + persist; failed_boards reuses)
+        prs = rs.product_reports()
+        timed("product_daily_failures", lambda: prs["product_daily_failures"].count())
+        timed("product_hourly", lambda: prs["product_hourly"].count())
+        timed("product_failed_boards", lambda: prs["product_failed_boards"].count())
         tmp = tempfile.mkdtemp(prefix="ictspark_bench_")
         try:
             timed(

@@ -28,6 +28,7 @@ class ReportSet:
         self.steps_a = A.with_attempt(parse.parse_steps(transcripts)).persist()
         self.runs = A.runs(self.steps_a).persist()
         self.fails = self.steps_a.where(F.col("status") != "pass").persist()
+        self._product_runs: DataFrame | None = None  # lazy, see product_reports()
 
     def materialize(self) -> dict[str, int]:
         return {
@@ -110,16 +111,26 @@ class ReportSet:
     def product_reports(self) -> dict[str, DataFrame]:
         """The write_product composite (per-route daily report) — kept out of
         all_reports() so the scaling-protocol workload stays the nine
-        aggregates BENCH/BASELINE.md measured."""
+        aggregates BENCH/BASELINE.md measured.
+
+        product_runs — the (route_key, conv_id, attempt) wide shuffle that is
+        the composite's dominant cost — is materialized ONCE and shared by
+        product_hourly and product_failed_boards (VERDICT r02 nit #1: the two
+        reports previously each recomputed it)."""
         from ictspark import product_report as PR
 
         es = self.enriched()
+        if self._product_runs is None:
+            self._product_runs = PR.product_runs(es).persist()
         return {
-            "product_hourly": PR.product_hourly(es),
+            "product_hourly": PR.product_hourly(es, runs=self._product_runs),
             "product_daily_failures": PR.product_daily_failures(es),
-            "product_failed_boards": PR.product_failed_boards(es),
+            "product_failed_boards": PR.product_failed_boards(es, runs=self._product_runs),
         }
 
     def unpersist(self) -> None:
         for df in (self.steps_a, self.runs, self.fails):
             df.unpersist()
+        if self._product_runs is not None:
+            self._product_runs.unpersist()
+            self._product_runs = None

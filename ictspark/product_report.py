@@ -51,10 +51,16 @@ def product_runs(es_a: DataFrame) -> DataFrame:
     return _per_run(es_a, "route_key")
 
 
-def product_hourly(es_a: DataFrame) -> DataFrame:
+def product_hourly(es_a: DataFrame, runs: DataFrame | None = None) -> DataFrame:
     """Hourly ok/nok per product + per-product TOTAL row
-    (daily_yield.rs:92-112: hourly table then a totals footer)."""
-    r = product_runs(es_a)
+    (daily_yield.rs:92-112: hourly table then a totals footer).
+
+    ``runs``: optionally pass an already-materialized product_runs(es_a) —
+    the (route_key, conv_id, attempt) aggregation is the composite's one wide
+    shuffle, and the per-product failed-boards report needs the identical
+    table, so computing it once (ReportSet.product_reports persists it) halves
+    the composite's shuffle work."""
+    r = product_runs(es_a) if runs is None else runs
     h = r.groupBy(
         "route_key",
         F.date_format(F.date_trunc("hour", "run_ts"), TS_FMT).alias("hour"),
@@ -95,14 +101,16 @@ def product_daily_failures(es_a: DataFrame) -> DataFrame:
     return wide.unionByName(tot.select("route_key", "step", "n_fail_all", "n_fail_after_retest"))
 
 
-def product_failed_boards(es_a: DataFrame) -> DataFrame:
+def product_failed_boards(es_a: DataFrame, runs: DataFrame | None = None) -> DataFrame:
     """Failed-boards detail per product (daily_yield.rs:146-165): every run of
     any conv that failed at least once in this product view, with the DMC
     shown only on the conv's first row (the consecutive-duplicate suppression
     at daily_yield.rs:154-158 — under conv-major ordering, repeats of a DMC
     are exactly the conv's later attempts, so `attempt == 1` is the lag rule
-    without any global ordered window)."""
-    r = product_runs(es_a)
+    without any global ordered window).
+
+    ``runs``: optional shared product_runs table (see product_hourly)."""
+    r = product_runs(es_a) if runs is None else runs
     conv_any = F.max("any_fail").over(Window.partitionBy("route_key", "conv_id"))
     d = r.withColumn("conv_any_fail", conv_any).where("conv_any_fail = 1")
     return d.select(
