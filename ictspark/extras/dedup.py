@@ -24,17 +24,38 @@ def _tokens(documents: DataFrame) -> DataFrame:
     ).where(F.col("token") != "")
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (n=3)."""
+MAX_SHINGLE_DF = 100  # document-frequency cap: shingles in more docs are dropped
+
+
+def shingles(documents: DataFrame, n: int = 3, max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """Distinct word n-gram shingles per doc (n=3), df-capped.
+
+    Hot-bucket defense (VERDICT r02 item 4): a boilerplate shingle shared by
+    10⁶ docs turns any shingle-equi-join into a quadratic bucket. Shingles
+    whose document frequency exceeds ``max_df`` are dropped BEFORE candidate
+    generation — standard near-dup practice (ultra-common shingles carry no
+    discriminative signal; dropping them changes Jaccard only for pairs whose
+    overlap was boilerplate anyway). The filter is one count-over-window on
+    the shingle key — the same shuffle the downstream join needs, no extra
+    pass over the documents. The DuckDB oracle applies the identical cap
+    (oracle_extras._SHINGLES), so parity hashes prove both engines see the
+    same definition."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     t = _tokens(documents)
-    return (
+    sh = (
         t.withColumn("t1", F.lead("token", 1).over(w))
         .withColumn("t2", F.lead("token", 2).over(w))
         .where(F.col("t2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("shingle"))
         .distinct()
     )
+    if max_df is not None:
+        sh = (
+            sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .where(F.col("df") <= max_df)
+            .drop("df")
+        )
+    return sh
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:

@@ -5,7 +5,7 @@ views in the driver's DuckDB; media/transcripts are read by absolute path.
 
 from __future__ import annotations
 
-from ictspark.extras.dedup import LSH_BANDS, N_MINHASH, N_SIMHASH_BITS
+from ictspark.extras.dedup import LSH_BANDS, MAX_SHINGLE_DF, N_MINHASH, N_SIMHASH_BITS
 from ictspark.extras.textstats import LANG_PROFILES, STOPWORDS, TOKEN_RE
 
 _TSF = "%Y-%m-%d %H:%M:%S"
@@ -20,14 +20,21 @@ toks AS (
   ) WHERE token <> ''
 )"""
 
-_SHINGLES = _TOKS + """,
-sh AS (
+_SHINGLES = _TOKS + f""",
+sh_all AS (
   SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle FROM (
     SELECT doc_id, token,
            lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
            lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
     FROM toks
   ) WHERE t2 IS NOT NULL
+),
+sh AS (
+  -- identical df-cap to dedup.shingles (MAX_SHINGLE_DF): boilerplate
+  -- shingles above the cap never reach candidate generation in either engine
+  SELECT doc_id, shingle FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh_all
+  ) WHERE df <= {MAX_SHINGLE_DF}
 )"""
 
 

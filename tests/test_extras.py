@@ -48,6 +48,29 @@ def test_minhash_est_tracks_true_jaccard(docs):
         assert t > 0.05, f"LSH flagged an unrelated pair {r}"
 
 
+def test_hot_shingle_df_cap_bounds_candidates(spark):
+    """VERDICT r02 item 4: a boilerplate shingle shared by every doc must NOT
+    create a quadratic candidate bucket. 300 docs share one hot trigram (df
+    300 > MAX_SHINGLE_DF); the rest of each doc is unique. With the cap, the
+    hot shingle is dropped before candidate generation, so there are ZERO
+    candidate pairs (uncapped: 300·299/2 = 44 850 joined rows)."""
+    rows = [(i, f"common boiler plate w{i} x{i} y{i}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = dedup.shingles(docs)
+    assert sh.where(F.col("shingle") == "common boiler plate").count() == 0
+    # df-capped shingle set keeps everything below the cap
+    assert sh.groupBy("shingle").count().agg(F.max("count")).first()[0] <= dedup.MAX_SHINGLE_DF
+    # threshold=0 keeps EVERY candidate pair — proves the join itself is bounded
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.0).count() == 0
+    assert dedup.minhash_lsh_pairs(docs, threshold=0.0).count() == 0
+    # the cap must not over-drop: docs sharing sub-cap shingles still pair up
+    near = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma epsilon")],
+        "doc_id int, text string",
+    )
+    assert dedup.ngram_jaccard_pairs(near, threshold=0.1).count() == 1
+
+
 def test_simhash_is_16bit(docs):
     s = dedup.simhash(docs)
     assert s.where((F.col("simhash") < 0) | (F.col("simhash") >= 2**16)).count() == 0
