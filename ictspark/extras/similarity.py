@@ -217,6 +217,23 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def srp_bands_for(threshold: float, rows: int = SRP_ROWS, target_recall: float = 0.999) -> int:
+    """Bands needed so a pair at EXACTLY ``threshold`` cosine is caught with
+    probability ≥ target_recall under the LSH OR-construction:
+
+        recall = 1 - (1 - p^rows)^bands,   p = 1 - arccos(threshold)/π
+
+    (p = probability one random hyperplane does NOT separate the pair). Pairs
+    above the threshold have higher p, so this bounds the whole result set.
+    Use this when changing ``threshold`` so recall cannot silently drop —
+    higher thresholds need FEWER bands (p grows), which is why production
+    near-dup thresholds (≥ 0.8) are cheaper than the demo 0.35."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p**rows)))
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
@@ -234,9 +251,11 @@ def embedding_dup_pairs(
     sized for the demo threshold 0.35 (verified = brute force on the test
     data — the DuckDB oracle still computes the brute-force label-blocked
     form); production near-dup thresholds (≥ 0.8) allow far fewer bands.
-    Recall is probabilistic, NOT guaranteed: if the fixtures or the threshold
-    change, re-verify against brute force and resize rows/bands (the
-    test_embedding_dup_pairs_bucketed_plan_and_recall test gates this).
+    Recall is probabilistic, NOT guaranteed: when changing the threshold,
+    size bands with ``srp_bands_for(threshold, rows)`` (the closed-form
+    sizing) and re-verify against brute force — gated by
+    test_embedding_dup_pairs_bucketed_plan_and_recall (demo threshold) and
+    test_srp_recall_at_production_threshold (0.8, resized params).
     """
     e = _with_norm(embeddings)
     buckets = e.select(
