@@ -18,6 +18,8 @@ both modes — the batch/stream unification Spark promises.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -170,6 +172,94 @@ def dedupe_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> Data
     return t.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 in anger: the run-grain YIELD aggregate as a streaming query.
+# The reference's AutoUpdate keeps per-logfile records in memory and calls
+# update_stats after each new-log batch (main.rs:691-694) — records append
+# incrementally; stats derive from the records, never re-reading logfiles.
+# Spark translation: foreachBatch parses ONLY each micro-batch's new files and
+# MERGEs the boolean step skeleton (session, conv, step, turn, line, fail) —
+# ~10× smaller than raw, no text — into a compact state table; the yield
+# report derives from state alone. The merge is emulated offline as a
+# versioned-parquet rewrite behind an atomically-replaced pointer file; on a
+# cluster the state table is Iceberg and the merge is MERGE INTO (touching
+# only matched files). Order-independent by construction: attempt ranks are
+# computed over the merged state, so late/out-of-order arrivals and
+# re-delivered files (dropDuplicates on the full key) cannot corrupt ranks.
+# ---------------------------------------------------------------------------
+
+_YIELD_STATE_KEY = ["conv_id", "step", "turn_idx", "line_no"]
+
+
+def _state_pointer(state_dir: str) -> str:
+    return os.path.join(state_dir, "_CURRENT")
+
+
+def read_yield_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    ptr = _state_pointer(state_dir)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, version))
+
+
+def run_yield_state_loop(stream_df: DataFrame, state_dir: str, checkpoint: str) -> None:
+    """Drain ``stream_df`` (transcripts file stream) with availableNow,
+    merging each micro-batch's parsed step skeleton into the yield state
+    table. Restart-safe: a reprocessed batch merges to the same state
+    (idempotent dropDuplicates); the pointer flip is atomic (os.replace)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        new = parse.parse_steps(batch).select(
+            "session_id",
+            *_YIELD_STATE_KEY,
+            (F.col("status") != "pass").cast("int").alias("fail"),
+        )
+        cur = read_yield_state(s, state_dir)
+        merged = new if cur is None else cur.unionByName(new)
+        merged = merged.dropDuplicates(_YIELD_STATE_KEY)
+        vname = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, vname))
+        tmp = _state_pointer(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vname)
+        os.replace(tmp, _state_pointer(state_dir))
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def yields_from_state(state: DataFrame) -> DataFrame:
+    """A1/A2 yield grains from the step-skeleton state table — identical math
+    to aggregates.with_attempt → run_grain → yields_from_run_grain, but over
+    the compact state (the incremental-aggregate read path; raw transcripts
+    are never rescanned)."""
+    from pyspark.sql import Window
+
+    from ictspark import aggregates as A
+
+    asc = Window.partitionBy("conv_id", "step").orderBy("turn_idx", "line_no")
+    unord = Window.partitionBy("conv_id", "step")
+    sa = state.withColumn("attempt", F.row_number().over(asc)).withColumn(
+        "is_last", F.row_number().over(asc) == F.count("*").over(unord)
+    )
+    ca = sa.groupBy("session_id", "conv_id", "attempt").agg(
+        F.max("fail").alias("any_fail"),
+        F.max(F.when(F.col("is_last") & (F.col("fail") == 1), 1).otherwise(0)).alias(
+            "final_fail"
+        ),
+    )
+    return A.yields_from_run_grain(ca)
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str) -> list:

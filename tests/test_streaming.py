@@ -113,6 +113,43 @@ def test_dedupe_stream_drops_duplicates(spark, stream_src, smoke_sf_dir):
         assert len(set(keys)) == exp
 
 
+def test_yield_state_loop_equals_batch(spark, smoke_sf_dir, tmp_path):
+    """VERDICT r02 item 5 (T5 in anger): the run-grain yield aggregate as a
+    streaming query — foreachBatch merges each micro-batch's step skeleton
+    into a compact state table; yields derive from state alone. Multi-batch
+    drain over shuffled file splits must equal the batch report exactly
+    (attempt ranks are order-independent over merged state)."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    src = str(tmp_path / "src")
+    # 4 files in arbitrary row order → 4 micro-batches, out-of-order arrivals
+    t.orderBy(F.md5(F.concat_ws("|", "conv_id", "turn_idx"))).repartition(4).write.parquet(src)
+    s = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_dir = str(tmp_path / "state")
+    streaming.run_yield_state_loop(s, state_dir, str(tmp_path / "ck"))
+    state = streaming.read_yield_state(spark, state_dir)
+    got = {tuple(r) for r in streaming.yields_from_state(state).collect()}
+    exp = {tuple(r) for r in A.yields(A.with_attempt(parse.parse_steps(t))).collect()}
+    assert got == exp
+    # the state is the compact skeleton, not raw: no text column, one row per
+    # step execution
+    assert "text" not in state.columns
+    assert state.count() == parse.parse_steps(t).count()
+    # restart parity: a second drain over the SAME source (fresh checkpoint →
+    # full re-delivery) must leave the state unchanged (idempotent merge)
+    streaming.run_yield_state_loop(
+        spark.readStream.schema(t.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        state_dir,
+        str(tmp_path / "ck2"),
+    )
+    state2 = streaming.read_yield_state(spark, state_dir)
+    got2 = {tuple(r) for r in streaming.yields_from_state(state2).collect()}
+    assert got2 == exp
+
+
 def test_product_hourly_stream_equals_batch(spark, stream_src, smoke_sf_dir):
     """Streaming per-product hourly slice == the same step-grain aggregate
     computed in batch (closed windows; trailing open windows may be withheld)."""
