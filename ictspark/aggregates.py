@@ -302,6 +302,19 @@ def export_matrix(steps_a: DataFrame, steps: list[str] | None = None, only_faile
     return p
 
 
+def export_matrix_vertical(steps_a: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Vertical export orientation (main.rs:1269-1272: the reference writes the
+    export transposed when vertical orientation is selected — tests down the
+    sheet, one column per board). As DATA the transpose is the stacked long
+    form: one row per (step, conv_id) with the final attempt's value, step as
+    the major axis. Downstream writers pivot to the paper layout; the engine
+    ships the layout-free long table (a million-column DataFrame is not a
+    thing)."""
+    steps = steps or EXPORT_STEPS
+    base = steps_a.where(F.col("step").isin(steps) & F.col("is_last"))
+    return base.groupBy("step", "conv_id").agg(F.max("value").alias("value"))
+
+
 def limit_change_points(steps_a: DataFrame) -> DataFrame:
     """W7: WHERE each limit change happened — lag over ts per step
     (main.rs:1322-1345 warns which tests changed; this localizes the change)."""

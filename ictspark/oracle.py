@@ -336,6 +336,55 @@ SELECT route_key,
        failed_steps
 FROM flagged WHERE conv_any_fail = 1"""
 
+    q["product_workbook"] = p + "," + pruns + f""",
+h AS (
+  SELECT route_key, strftime(date_trunc('hour', run_ts), '{_TSF}') AS hour,
+         CAST(SUM(1 - any_fail) AS BIGINT) AS ok,
+         CAST(SUM(any_fail) AS BIGINT) AS nok
+  FROM pruns GROUP BY 1, 2
+),
+hourly AS (
+  SELECT route_key, hour, ok, nok FROM h
+  UNION ALL
+  SELECT route_key, 'TOTAL', CAST(SUM(ok) AS BIGINT), CAST(SUM(nok) AS BIGINT) FROM h GROUP BY 1
+),
+allf AS (
+  SELECT route_key, step, COUNT(*) AS n_fail_all
+  FROM es WHERE status <> 'pass' GROUP BY 1, 2
+),
+art AS (
+  SELECT route_key, step, COUNT(*) AS n_fail_after_retest
+  FROM es WHERE status <> 'pass' AND is_last GROUP BY 1, 2
+),
+wide AS (
+  SELECT a.route_key, a.step, a.n_fail_all, r.n_fail_after_retest
+  FROM allf a LEFT JOIN art r ON a.route_key = r.route_key AND a.step = r.step
+),
+fails AS (
+  SELECT route_key, step, n_fail_all, n_fail_after_retest FROM wide
+  UNION ALL
+  SELECT route_key, 'TOTAL', CAST(SUM(n_fail_all) AS BIGINT),
+         CAST(COALESCE(SUM(n_fail_after_retest), 0) AS BIGINT)
+  FROM wide GROUP BY 1
+),
+flagged AS (
+  SELECT *, MAX(any_fail) OVER (PARTITION BY route_key, conv_id) AS conv_any_fail FROM pruns
+)
+SELECT route_key, 1 AS section_order, 'hourly' AS section,
+       hour AS c1, CAST(ok AS VARCHAR) AS c2, CAST(nok AS VARCHAR) AS c3,
+       CAST(NULL AS VARCHAR) AS c4, CAST(NULL AS VARCHAR) AS c5
+FROM hourly
+UNION ALL
+SELECT route_key, 2, 'failures', step, CAST(n_fail_all AS VARCHAR),
+       CAST(n_fail_after_retest AS VARCHAR), NULL, NULL
+FROM fails
+UNION ALL
+SELECT route_key, 3, 'failed_boards',
+       CASE WHEN attempt = 1 THEN conv_id ELSE '' END,
+       CAST(attempt AS VARCHAR), strftime(run_ts, '{_TSF}'),
+       CASE WHEN any_fail = 1 THEN 'fail' ELSE 'pass' END, failed_steps
+FROM flagged WHERE conv_any_fail = 1"""
+
     q["failed_boards_display"] = p + f""",
 pr AS (
   SELECT conv_id, attempt, MIN(ts) AS run_ts,
@@ -390,6 +439,11 @@ FROM steps_a
 WHERE step IN ({inlist}) AND is_last
   AND conv_id IN (SELECT conv_id FROM conv_final WHERE any_fail = 1)
 GROUP BY 1"""
+
+    q["export_matrix_vertical"] = p + f"""
+SELECT step, conv_id, MAX("value") AS value
+FROM steps_a WHERE step IN ({inlist}) AND is_last
+GROUP BY 1, 2"""
     return q
 
 

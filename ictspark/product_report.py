@@ -123,6 +123,52 @@ def product_failed_boards(es_a: DataFrame, runs: DataFrame | None = None) -> Dat
     )
 
 
+def product_workbook(es_a: DataFrame, runs: DataFrame | None = None) -> DataFrame:
+    """The single-workbook composite (write_product, daily_yield.rs:82-169):
+    all three per-product report sections UNIONed in reference worksheet order
+    — hourly table (1), failure join (2), failed-boards detail (3) — padded to
+    a common string-cell schema (route_key, section_order, section, c1..c5).
+    One query materializes every product's whole workbook in a single pass;
+    the xlsx writer is presentation-layer (out of scope by the graft mapping),
+    but the worksheet CONTENT and ordering are exactly this table."""
+    r = product_runs(es_a) if runs is None else runs
+    h = product_hourly(es_a, runs=r)
+    f = product_daily_failures(es_a)
+    b = product_failed_boards(es_a, runs=r)
+    null_s = F.lit(None).cast("string")
+    s1 = h.select(
+        "route_key",
+        F.lit(1).alias("section_order"),
+        F.lit("hourly").alias("section"),
+        F.col("hour").alias("c1"),
+        F.col("ok").cast("string").alias("c2"),
+        F.col("nok").cast("string").alias("c3"),
+        null_s.alias("c4"),
+        null_s.alias("c5"),
+    )
+    s2 = f.select(
+        "route_key",
+        F.lit(2).alias("section_order"),
+        F.lit("failures").alias("section"),
+        F.col("step").alias("c1"),
+        F.col("n_fail_all").cast("string").alias("c2"),
+        F.col("n_fail_after_retest").cast("string").alias("c3"),
+        null_s.alias("c4"),
+        null_s.alias("c5"),
+    )
+    s3 = b.select(
+        "route_key",
+        F.lit(3).alias("section_order"),
+        F.lit("failed_boards").alias("section"),
+        F.col("dmc_display").alias("c1"),
+        F.col("attempt").cast("string").alias("c2"),
+        F.col("run_ts").alias("c3"),
+        F.col("result").alias("c4"),
+        F.col("failed_steps").alias("c5"),
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
 def failed_boards_display(steps_a: DataFrame) -> DataFrame:
     """Global (non-product-scoped) A8 display variant of failed_boards: all
     runs of ever-failing convs, DMC blanked on repeat rows

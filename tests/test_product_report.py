@@ -51,3 +51,30 @@ def test_failed_boards_display_dedupe(es_a):
     assert n_convs == exp
     # every listed run belongs to an ever-failing conv; blanked rows are attempt > 1
     assert d.where((F.col("dmc_display") == "") & (F.col("attempt") == 1)).count() == 0
+
+
+def test_product_workbook_sections_match_components(es_a):
+    """The workbook union must carry each section's rows verbatim, in
+    worksheet order (hourly=1, failures=2, failed_boards=3)."""
+    wb = PR.product_workbook(es_a).cache()
+    counts = {r["section"]: r["n"] for r in wb.groupBy("section").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["hourly"] == PR.product_hourly(es_a).count()
+    assert counts["failures"] == PR.product_daily_failures(es_a).count()
+    assert counts["failed_boards"] == PR.product_failed_boards(es_a).count()
+    orders = {r["section"]: r["o"] for r in wb.select("section", F.col("section_order").alias("o")).distinct().collect()}
+    assert orders == {"hourly": 1, "failures": 2, "failed_boards": 3}
+    wb.unpersist()
+
+
+def test_export_matrix_vertical_is_transposed_long_form(spark, smoke_sf_dir):
+    """Vertical orientation = the pivot's long form: same (conv, step, value)
+    triples as the horizontal export matrix."""
+    sa = A.with_attempt(parse.parse_steps(io.load_transcripts(spark, smoke_sf_dir)))
+    v = A.export_matrix_vertical(sa)
+    wide = A.export_matrix(sa)
+    n_nonnull = 0
+    for s in A.EXPORT_STEPS:
+        safe = "val_" + "".join(c if c.isalnum() else "_" for c in s.lower())
+        n_nonnull += wide.where(F.col(safe).isNotNull()).count()
+    assert v.where(F.col("value").isNotNull()).count() == n_nonnull
+    assert set(v.columns) == {"step", "conv_id", "value"}
