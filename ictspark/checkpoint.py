@@ -161,7 +161,9 @@ def run_incremental(
     # (conv_id, turn_idx) keys cannot double-count across uncommitted day
     # boundaries, and the window shuffle runs once, not once per day.
     from ictspark.io import dedupe_transcripts
+    from ictspark.snapshots import SnapshotLog, snapshot_day_write
 
+    slog = SnapshotLog(ck_dir)
     batch = dedupe_transcripts(t.where(F.col("_day").isin(todo))).persist()
     processed: list[str] = []
     n_commits = 0
@@ -189,6 +191,9 @@ def run_incremental(
             n = spark.read.schema(routed.schema).parquet(path).count()
             # "mode" keeps lineage rows schema-homogeneous across entry points
             # (createDataFrame over mixed-key dicts would fail in metrics)
+            # snapshot lineage (Iceberg commit analog): which files this
+            # write added — the open day's rewrite records as a REPLACE
+            snapshot_day_write(slog, out_dir, day)
             metrics = {
                 "rows": int(n),
                 "duration_s": round(time.time() - t0, 3),
@@ -287,7 +292,11 @@ def backfill(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+    from ictspark.snapshots import SnapshotLog, snapshot_day_write
+
+    slog = SnapshotLog(ck_dir)
     for day in todo:
+        snapshot_day_write(slog, out_dir, day)
         metrics = {"rows": int(counts.get(day, 0)), "duration_s": wall, "mode": "backfill"}
         if day == open_day:
             lin.mark_open(day, **metrics)
