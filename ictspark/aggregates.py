@@ -487,6 +487,49 @@ def step_cpk_trend(steps_a: DataFrame) -> DataFrame:
     )
 
 
+def tool_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-tool turn latency: gap between a tool turn and the previous turn of
+    its conv (lag over turn order — the reference's per-test timing view
+    generalized to agent tool calls). Per tool: calls, avg/max gap seconds.
+    One window partitioned by conv (fine grain), then an algebraic agg —
+    map-side combinable, no hot keys."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # ts arrives as TIMESTAMP_NTZ from parquet; NTZ→LTZ (session tz is pinned
+    # UTC) → epoch-seconds double keeps sub-second precision in both engines
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    g = transcripts.withColumn("gap_s", gap).where(
+        F.col("tool").isNotNull() & F.col("gap_s").isNotNull()
+    )
+    return g.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+    )
+
+
+def error_bursts(steps_a: DataFrame) -> DataFrame:
+    """Consecutive-failure bursts per conv (islands-and-gaps): a burst is a
+    maximal run of failing step executions in (turn_idx, line_no) order.
+    Per conv: burst count + longest burst — the 'is this board dying or
+    flaky?' signal a test engineer reads off the strip chart. Two windows on
+    the same (conv) partitioning → one Exchange."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "line_no")
+    wf = Window.partitionBy("conv_id", "is_fail").orderBy("turn_idx", "line_no")
+    grp = F.row_number().over(w) - F.row_number().over(wf)
+    d = steps_a.withColumn("is_fail", (F.col("status") != "pass").cast("int")).withColumn(
+        "grp", grp
+    )
+    bursts = (
+        d.where("is_fail = 1")
+        .groupBy("conv_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return bursts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_bursts"), F.max("len").alias("max_burst")
+    )
+
+
 def conv_reports(transcripts: DataFrame) -> DataFrame:
     """Raw per-conv report reconstruction (get_report_for_SB analog,
     log_info_window.rs:27-54): full conversation text, turns in order.

@@ -104,6 +104,79 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 100
     return labels
 
 
+def dedup_keep_list(documents: DataFrame) -> DataFrame:
+    """The keep/drop decision a dedup pipeline actually emits: per doc, its
+    near-dup component, the component size, and whether this doc is the
+    canonical keeper (min doc_id of the component — the component label
+    itself, by construction of min-label propagation). Downstream consumers
+    anti-join the drops; the oracle recomputes components via WITH RECURSIVE,
+    so the keep flags are ground-truth-checked end to end."""
+    labels = dedup_components(documents)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    out = (
+        labels.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            "component",
+            "n_members",
+            (F.col("doc_id") == F.col("component")).alias("keep"),
+        )
+    )
+    return out
+
+
+def corpus_mix(documents: DataFrame) -> DataFrame:
+    """Language-balanced resampling plan (corpus mixing): downsample every
+    language to the size of the SMALLEST one, deterministically — rank docs
+    within each lang by md5(doc_id) (a reproducible shuffle) and keep the
+    first min_count. Per doc: lang, keep flag, and the lang's sampling stats.
+    Rank-based rather than threshold-based so the kept count is EXACT, and
+    portable because fixed-width lowercase hex compares identically in any
+    engine."""
+    counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_docs"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = documents.select("doc_id", "lang").withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(min_n))
+        .select(
+            "doc_id",
+            "lang",
+            "n_docs",
+            "min_docs",
+            (F.col("rnk") <= F.col("min_docs")).alias("keep"),
+        )
+    )
+
+
+def contamination_check(documents: DataFrame, benchmark_max_id: int = 25) -> DataFrame:
+    """Benchmark-contamination scan: does a training doc share word-3-gram
+    shingles with the held-out benchmark set (here: doc_id < benchmark_max_id,
+    standing in for an external eval corpus)? Per non-benchmark doc: the
+    count of distinct shared shingles and the contaminated flag. Candidate
+    generation is the df-capped shingle equi-join — the same bounded-bucket
+    shape as the dedup family, so a boilerplate shingle can't square the
+    check at 100 TB."""
+    from ictspark.extras.dedup import shingles
+
+    sh = shingles(documents)
+    bench = sh.where(F.col("doc_id") < benchmark_max_id).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") >= benchmark_max_id)
+    hits = train.join(bench, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )
+    base = documents.where(F.col("doc_id") >= benchmark_max_id).select("doc_id")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def stratified_sample(documents: DataFrame, hex_threshold: str = "40") -> DataFrame:
     """Deterministic ~(int(hex_threshold,16)/256) sample: keep a doc iff the
     first two hex chars of md5(doc_id) compare below the threshold — the

@@ -329,6 +329,60 @@ reach AS (
 )
 SELECT doc AS doc_id, MIN(r) AS component FROM reach GROUP BY 1"""
 
+    q["dedup_keep_list"] = f"""
+WITH RECURSIVE {_SHINGLES},
+{_minhash_sig()},
+{_minhash_pairs_ctes()},
+e0 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.2),
+edges AS (SELECT doc_a, doc_b FROM e0 UNION SELECT doc_b, doc_a FROM e0),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS r FROM documents
+  UNION
+  SELECT e.doc_a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.doc_b
+),
+comp AS (SELECT doc AS doc_id, MIN(r) AS component FROM reach GROUP BY 1),
+sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1)
+SELECT doc_id, component, n_members, doc_id = component AS keep
+FROM comp JOIN sizes USING (component)"""
+
+    q["corpus_mix"] = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+mn AS (SELECT MIN(n_docs) AS min_docs FROM counts),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, r.lang, c.n_docs, (SELECT min_docs FROM mn) AS min_docs,
+       rnk <= (SELECT min_docs FROM mn) AS keep
+FROM ranked r JOIN counts c ON r.lang = c.lang"""
+
+    q["contamination_check"] = f"""
+WITH {_SHINGLES},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+train AS (SELECT * FROM sh WHERE doc_id >= 25),
+hits AS (SELECT doc_id, COUNT(*) AS n FROM train JOIN bench USING (shingle) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_shingles,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+    q["repetition_score"] = f"""
+WITH {_TOKS},
+tri AS (
+  SELECT doc_id, token || ' ' || t1 || ' ' || t2 AS tri FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM toks
+  ) WHERE t2 IS NOT NULL
+),
+per AS (SELECT doc_id, tri, COUNT(*) AS n FROM tri GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+       CAST(MAX(n) AS BIGINT) AS max_trigram_n,
+       ROUND(MAX(n) * 1.0 / SUM(n), 4) AS repetition
+FROM per GROUP BY 1"""
+
     q["stratified_sample"] = """
 SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
 FROM documents

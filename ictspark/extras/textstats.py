@@ -54,6 +54,32 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_score(documents: DataFrame) -> DataFrame:
+    """Boilerplate/repetition quality signal: per doc, the most frequent word
+    3-gram's share of all (non-distinct) 3-grams. Machine-generated or
+    template text scores high; natural prose low. Explode → two aggregations,
+    both map-side combinable; no windows over the raw corpus."""
+    w_doc = F.split(F.lower("text"), " ")
+    toks = documents.select(
+        "doc_id", F.posexplode(F.filter(w_doc, lambda t: t != "")).alias("pos", "token")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("tri"))
+    )
+    per = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("doc_id").agg(
+        F.sum("n").alias("n_trigrams"),
+        F.max("n").alias("max_trigram_n"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("repetition"),
+    )
+
+
 LANG_PROFILES = {
     "en": ["th", "he", "in", "er", "an"],
     "de": ["en", "er", "ch", "de", "ei"],

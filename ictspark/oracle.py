@@ -458,6 +458,33 @@ SELECT r.role_group, COUNT(*) AS n_turns,
 FROM t LEFT JOIN role_dim r ON t.role = r.role
 GROUP BY 1"""
 
+    q["tool_latency"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
+g AS (
+  SELECT tool,
+         CAST(epoch_ms(ts) AS DOUBLE) / 1000.0
+         - lag(CAST(epoch_ms(ts) AS DOUBLE) / 1000.0)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+  FROM t
+)
+SELECT tool, COUNT(*) AS n_calls,
+       ROUND(AVG(gap_s), 4) AS avg_gap_s,
+       ROUND(MAX(gap_s), 4) AS max_gap_s
+FROM g WHERE tool IS NOT NULL AND gap_s IS NOT NULL GROUP BY 1"""
+
+    q["error_bursts"] = p + """
+, d AS (
+  SELECT conv_id, turn_idx, line_no,
+         CASE WHEN status <> 'pass' THEN 1 ELSE 0 END AS is_fail,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, line_no)
+         - ROW_NUMBER() OVER (PARTITION BY conv_id, CASE WHEN status <> 'pass' THEN 1 ELSE 0 END
+                              ORDER BY turn_idx, line_no) AS grp
+  FROM steps_a
+),
+bursts AS (SELECT conv_id, grp, COUNT(*) AS len FROM d WHERE is_fail = 1 GROUP BY 1, 2)
+SELECT conv_id, COUNT(*) AS n_bursts, CAST(MAX(len) AS BIGINT) AS max_burst
+FROM bursts GROUP BY 1"""
+
     q["step_value_stats"] = p + """
 , v AS (SELECT step, "value" AS x, lo, hi FROM steps_a WHERE "value" IS NOT NULL AND lo IS NOT NULL),
 a AS (
