@@ -103,6 +103,21 @@ def main() -> None:
         "vectors by id. Every join is a hash join on an equality key; at production "
         "scale AQE swaps broadcast for shuffled hash joins on the same keys.",
     )
+    add(
+        "Workbook composite (write_product single-pass, r03)",
+        PR.product_workbook(es),
+        "Three report sections over ONE product_runs aggregation (ReportSet persists "
+        "it; here the optimizer still shares the scan): the hourly and failed-boards "
+        "branches reuse the same run-grain Exchange, the failure join is the J1 "
+        "broadcast, and the union is shuffle-free.",
+    )
+    add(
+        "Contamination scan (df-capped shingle equi-join, r03)",
+        __import__("ictspark.extras.curation", fromlist=["contamination_check"]).contamination_check(docs),
+        "Benchmark membership via hash join on the shingle key; the df-cap "
+        "(count-over-window on the same key) rides the join's own Exchange, so a "
+        "boilerplate shingle is dropped before it can square a bucket.",
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "PLANS.md"), "w") as f:
