@@ -229,6 +229,15 @@ def run_yield_state_loop(stream_df: DataFrame, state_dir: str, checkpoint: str) 
         with open(tmp, "w") as f:
             f.write(vname)
         os.replace(tmp, _state_pointer(state_dir))
+        # retention: keep current + previous version only (previous stays as
+        # the crash-recovery target while the pointer flip of the NEXT batch
+        # is in flight) — state disk stays O(2×state), not O(batches)
+        import shutil
+
+        keep = {vname, f"v{batch_id - 1}"}
+        for d in os.listdir(state_dir):
+            if d.startswith("v") and d not in keep and os.path.isdir(os.path.join(state_dir, d)):
+                shutil.rmtree(os.path.join(state_dir, d))
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)

@@ -308,3 +308,58 @@ def test_ann_ivf_structure(emb):
     got = {(x["q_id"], x["c_id"]) for x in r.collect()}
     # sanity: nprobe=4 of 16 lists recovers at least a third of the exact top-3
     assert len(got & truth) >= len(truth) // 3
+
+
+def test_corpus_mix_keeps_exactly_min_count(docs, spark):
+    from ictspark.extras import curation
+
+    mix = curation.corpus_mix(docs).cache()
+    per = {r["lang"]: r for r in mix.where("keep").groupBy("lang").count().collect()}
+    min_docs = mix.agg(F.min("min_docs")).first()[0]
+    assert all(r["count"] == min_docs for r in per.values()), per
+    assert mix.count() == docs.count()  # every doc gets a decision
+    # deterministic: rerun gives identical keep set
+    again = curation.corpus_mix(docs)
+    assert mix.where("keep").select("doc_id").exceptAll(again.where("keep").select("doc_id")).count() == 0
+    mix.unpersist()
+
+
+def test_contamination_check_flags_planted_copy(spark):
+    from ictspark.extras import curation
+
+    rows = [(i, f"benchmark passage number {i} with unique tail t{i} u{i} v{i}") for i in range(25)]
+    rows.append((100, "benchmark passage number 3 quoted verbatim in training"))
+    rows.append((101, "completely unrelated training document about gardening tools"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["contaminated"] for r in curation.contamination_check(docs).collect()}
+    assert out[100] is True  # shares 'benchmark passage number' trigrams
+    assert out[101] is False
+    assert set(out) == {100, 101}  # benchmark docs themselves not scored
+
+
+def test_dedup_keep_list_one_keeper_per_component(docs):
+    from ictspark.extras import curation
+
+    kl = curation.dedup_keep_list(docs).cache()
+    per_comp = kl.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_comp.where("n_keep <> 1").count() == 0  # exactly one keeper each
+    sizes_ok = kl.join(per_comp, "component").where(F.col("n_members") != F.col("n")).count()
+    assert sizes_ok == 0
+    kl.unpersist()
+
+
+def test_repetition_score_orders_template_above_prose(spark):
+    from ictspark.extras import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now click here buy now click here buy now click here"),
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        ],
+        "doc_id int, text string",
+    )
+    r = {x["doc_id"]: x["repetition"] for x in textstats.repetition_score(docs).collect()}
+    assert r[0] > r[1]
+    assert 0 < r[1] <= r[0] <= 1.0

@@ -72,3 +72,20 @@ def test_time_filter_pushdown(spark, smoke_sf_dir):
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"conv_id", "ts"}
+
+
+def test_error_bursts_islands(spark):
+    """Planted sequence p f f f p f → 2 bursts, max 3."""
+    from ictspark import aggregates as A
+    from pyspark.sql import functions as F
+
+    rows = []
+    statuses = ["pass", "fail", "fail", "fail", "pass", "fail"]
+    for i, st in enumerate(statuses):
+        rows.append(("conv-0000-01", i, i, f"s{i}", st))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, line_no int, step string, status string"
+    )
+    out = A.error_bursts(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_bursts"] == 2 and out[0]["max_burst"] == 3

@@ -148,6 +148,9 @@ def test_yield_state_loop_equals_batch(spark, smoke_sf_dir, tmp_path):
     state2 = streaming.read_yield_state(spark, state_dir)
     got2 = {tuple(r) for r in streaming.yields_from_state(state2).collect()}
     assert got2 == exp
+    # retention: state disk is O(2 versions), not O(batches)
+    vdirs = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(vdirs) <= 2, vdirs
 
 
 def test_product_hourly_stream_equals_batch(spark, stream_src, smoke_sf_dir):
