@@ -7,6 +7,10 @@ Modes:
   batch        full parse → enrich → route → aggregate; writes routed store +
                report tables under --out
   incremental  checkpointed day-partition ingest with lineage (resumable)
+  changes      snapshot-based incremental read (Iceberg commit-lineage analog):
+               what did commits after --after add/replace? (consumer side)
+  yield-stream Structured Streaming run-grain yield: drain a transcripts file
+               stream via foreachBatch state merge, print the yield report
 
 On a cluster the same code runs unchanged: `--master` comes from spark-submit,
 and `ICTSPARK_FORMAT=iceberg` switches sinks to Iceberg tables (SURVEY §7 risk
@@ -77,6 +81,45 @@ def cmd_incremental(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_changes(args: argparse.Namespace) -> None:
+    """Consumer side of the snapshot log: report (and optionally export) what
+    the commits after --after added, Iceberg-incremental-scan style."""
+    from ictspark import snapshots as SN
+
+    spark = _spark()
+    routed = os.path.join(args.out, "routed")
+    log = SN.SnapshotLog(args.checkpoint)
+    appended, replaced = SN.changes_since(spark, routed, log, args.after)
+    n_appended = appended.count() if appended is not None else 0
+    if args.export and appended is not None:
+        appended.write.mode("overwrite").parquet(os.path.join(args.export, "appended"))
+    out = {
+        "mode": "changes",
+        "after_snapshot_id": args.after,
+        "current_snapshot_id": log.current_id(),
+        "appended_rows": int(n_appended),
+        "replaced_partitions": replaced,
+    }
+    print(json.dumps(out))
+
+
+def cmd_yield_stream(args: argparse.Namespace) -> None:
+    from ictspark import streaming as ST
+    from ictspark.schema import TRANSCRIPTS
+
+    spark = _spark()
+    s = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.transcripts)
+    )
+    state_dir = os.path.join(args.out, "yield_state")
+    ST.run_yield_state_loop(s, state_dir, args.checkpoint)
+    state = ST.read_yield_state(spark, state_dir)
+    rows = ST.yields_from_state(state).collect() if state is not None else []
+    print(json.dumps({"mode": "yield-stream", "yields": [r.asDict() for r in rows]}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="ictspark-job")
     sub = p.add_subparsers(dest="mode", required=True)
@@ -93,6 +136,18 @@ def main(argv: list[str] | None = None) -> None:
             s.add_argument("--commit-open-day", action="store_true")
             s.add_argument("--backfill", action="store_true")
         s.set_defaults(fn=fn)
+    s = sub.add_parser("changes")
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--after", type=int, default=0)
+    s.add_argument("--export", default=None)
+    s.set_defaults(fn=cmd_changes)
+    s = sub.add_parser("yield-stream")
+    s.add_argument("--transcripts", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--max-files-per-trigger", type=int, default=8)
+    s.set_defaults(fn=cmd_yield_stream)
     args = p.parse_args(argv)
     args.fn(args)
 

@@ -53,3 +53,55 @@ def test_job_incremental_cli(spark, smoke_sf_dir, capsys):
         from ictspark import parse
 
         assert n == parse.parse_steps(exp.dropDuplicates(["conv_id", "turn_idx"])).count()
+
+
+def test_job_changes_cli(spark, smoke_sf_dir, capsys):
+    """incremental → changes: the consumer CLI reports exactly the snapshots
+    the ingest produced (everything appended on a cold start; the open day
+    listed as replaced after a second cycle)."""
+    d = synth.synth_dir_for(smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as out:
+        base = [
+            "--transcripts", os.path.join(d, "transcripts.parquet"),
+            "--tool-dim", os.path.join(d, "tool_dim.parquet"),
+            "--out", out,
+        ]
+        job.main(["incremental", *base, "--checkpoint", f"{out}/ck"])
+        capsys.readouterr()
+        job.main(["changes", "--out", out, "--checkpoint", f"{out}/ck", "--after", "0"])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        routed = spark.read.parquet(os.path.join(out, "routed"))
+        from ictspark import snapshots as SN
+        repl = SN.read_replaced_partitions(spark, os.path.join(out, "routed"), rep["replaced_partitions"])
+        n_repl = repl.count() if repl is not None else 0
+        assert rep["appended_rows"] + n_repl == routed.count()
+        assert rep["current_snapshot_id"] > 0
+
+
+def test_job_yield_stream_cli(spark, smoke_sf_dir, capsys):
+    import shutil
+
+    d = synth.synth_dir_for(smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as out:
+        # the streaming file source requires a DIRECTORY of arriving files
+        src = f"{out}/src"
+        os.makedirs(src)
+        shutil.copy(os.path.join(d, "transcripts.parquet"), f"{src}/part-0000.parquet")
+        job.main(
+            [
+                "yield-stream",
+                "--transcripts", src,
+                "--out", out,
+                "--checkpoint", f"{out}/ck",
+            ]
+        )
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        got = {(r["level"], r["grain"]): (r["ok"], r["nok"]) for r in rep["yields"]}
+        from ictspark import parse
+        from ictspark import aggregates as A
+        t = io.load_transcripts(spark, smoke_sf_dir)
+        exp = {
+            (r["level"], r["grain"]): (r["ok"], r["nok"])
+            for r in A.yields(A.with_attempt(parse.parse_steps(t))).collect()
+        }
+        assert got == exp
