@@ -190,3 +190,44 @@ def golden_product_failures(
     for route, (ta, tr) in totals.items():
         out[(route, "TOTAL")] = (ta, tr)
     return out
+
+
+def golden_error_bursts(steps: list[dict]) -> dict[str, tuple[int, int]]:
+    """conv_id → (n_bursts, max_burst): maximal runs of consecutive failing
+    executions under (turn_idx, line_no) order (r03)."""
+    by_conv: dict[str, list[dict]] = defaultdict(list)
+    for s in steps:
+        by_conv[s["conv_id"]].append(s)
+    out: dict[str, tuple[int, int]] = {}
+    for conv, execs in by_conv.items():
+        execs.sort(key=lambda s: (s["turn_idx"], s["line_no"]))
+        n_bursts = max_burst = cur = 0
+        for s in execs:
+            if s["status"] != "pass":
+                cur += 1
+                if cur == 1:
+                    n_bursts += 1
+                max_burst = max(max_burst, cur)
+            else:
+                cur = 0
+        if n_bursts:
+            out[conv] = (n_bursts, max_burst)
+    return out
+
+
+def golden_tool_latency(transcripts_path: str) -> dict[str, tuple[int, float, float]]:
+    """tool → (n_calls, avg_gap_s, max_gap_s): gap to the previous turn of the
+    same conv by turn_idx, over turns with a non-null tool (r03)."""
+    rows = pq.read_table(transcripts_path).to_pylist()
+    by_conv: dict[str, list[dict]] = defaultdict(list)
+    for r in rows:
+        by_conv[r["conv_id"]].append(r)
+    gaps: dict[str, list[float]] = defaultdict(list)
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        for prev, cur in zip(turns, turns[1:]):
+            if cur["tool"] is not None:
+                gaps[cur["tool"]].append((cur["ts"] - prev["ts"]).total_seconds())
+    return {
+        t: (len(g), round(sum(g) / len(g), 4), round(max(g), 4)) for t, g in gaps.items()
+    }

@@ -86,3 +86,18 @@ def test_product_failures_match_pyoracle(spark, steps_a, golden, smoke_dir):
         for r in PR.product_daily_failures(es).collect()
     }
     assert got == exp
+
+
+def test_error_bursts_match_pyoracle(golden, steps_a):
+    rows = {r["conv_id"]: (r["n_bursts"], r["max_burst"]) for r in A.error_bursts(steps_a).collect()}
+    assert rows == pyoracle.golden_error_bursts(golden["steps"])
+    assert rows  # the synth plants failures
+
+
+def test_tool_latency_match_pyoracle(spark, smoke_dir, smoke_sf_dir):
+    got = {
+        r["tool"]: (r["n_calls"], r["avg_gap_s"], r["max_gap_s"])
+        for r in A.tool_latency(io.load_transcripts(spark, smoke_sf_dir)).collect()
+    }
+    exp = pyoracle.golden_tool_latency(os.path.join(smoke_dir, "transcripts.parquet"))
+    assert got == exp
