@@ -272,6 +272,35 @@ SELECT q_id, c_id, sim, rank FROM (
   FROM cand
 ) WHERE rank <= 3"""
 
+    q["ann_quantized_rerank"] = f"""
+WITH {_NORM},
+nq AS (
+  SELECT vec_id, v, norm,
+         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-12) AS scale,
+         {bucket} AS bucket
+  FROM n
+),
+nqq AS (
+  SELECT *, list_transform(v, x -> round(x / scale)) AS qv FROM nq
+),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.v AS qfv, c.v AS cv,
+         q.norm AS qn, c.norm AS cn,
+         ROUND(list_inner_product(q.qv, c.qv) * q.scale * c.scale / (q.norm * c.norm), 6) AS qsim
+  FROM nqq q JOIN nqq c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+short AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qsim DESC, c_id) AS qrank
+  FROM cand
+)
+SELECT q_id, c_id, approx_sim, sim, rank FROM (
+  SELECT q_id, c_id, qsim AS approx_sim,
+         ROUND(list_inner_product(qfv, cv) / (qn * cn), 6) AS sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY ROUND(list_inner_product(qfv, cv) / (qn * cn), 6) DESC, c_id) AS INT) AS rank
+  FROM short WHERE qrank <= 8
+) WHERE rank <= 3"""
+
     q["embedding_dup_pairs"] = f"""
 WITH {_NORM}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

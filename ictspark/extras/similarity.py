@@ -191,6 +191,56 @@ def ann_ivf(embeddings: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE) -> Data
     )
 
 
+def ann_quantized_rerank(
+    embeddings: DataFrame, k: int = 3, shortlist: int = 8
+) -> DataFrame:
+    """The production two-stage ANN read path: score candidates with the INT8
+    quantized vectors (4× less IO than fp32 — what a 100 TB vector store
+    actually scans), keep a per-query shortlist by approximate similarity,
+    then rerank ONLY the shortlist with full-precision cosine. Candidates come
+    from the same sign-bucket equi-join as ann_bucketed; approximate cosine =
+    (q̂_a·q̂_b)·s_a·s_b / (‖a‖‖b‖) with per-vector scales s. Deterministic ties
+    by c_id at both ranks."""
+    e = _with_norm(embeddings).withColumn("bucket", _bucket_key(F.col("v")))
+    amax = F.aggregate("v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.greatest(amax / F.lit(127.0), F.lit(1e-12))
+    e = e.withColumn("scale", scale).withColumn(
+        "qv", F.transform("v", lambda x: F.round(x / F.col("scale")).cast("int"))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qfv"),
+        F.col("qv").alias("qqv"),
+        F.col("norm").alias("qn"),
+        F.col("scale").alias("qs"),
+        "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), "v", "qv", "norm", "scale", "bucket"
+    )
+    cand = q.join(c, "bucket").where(F.col("q_id") != F.col("c_id"))
+    qdot = F.aggregate(
+        F.zip_with("qqv", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qsim = F.round(qdot * F.col("qs") * F.col("scale") / (F.col("qn") * F.col("norm")), 6)
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("qsim"), "c_id")
+    short = (
+        cand.withColumn("qsim", qsim)
+        .withColumn("qrank", F.row_number().over(w1))
+        .where(F.col("qrank") <= shortlist)
+    )
+    sim = F.round(_dot(F.col("qfv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    return (
+        short.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", F.col("qsim").alias("approx_sim"), "sim", "rank")
+    )
+
+
 def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization (the storage-shrink op a 100 TB
     embedding store runs before ANN indexing): scale = max|x| / 127, q_i =

@@ -363,3 +363,21 @@ def test_repetition_score_orders_template_above_prose(spark):
     r = {x["doc_id"]: x["repetition"] for x in textstats.repetition_score(docs).collect()}
     assert r[0] > r[1]
     assert 0 < r[1] <= r[0] <= 1.0
+
+
+def test_quantized_rerank_recovers_exact_topk(emb):
+    """When the shortlist covers the whole bucket (true at fixture scale:
+    ~2 vectors/bucket << shortlist 8), int8-score → fp-rerank must return
+    exactly the full-precision bucketed top-k."""
+    got = {
+        (r["q_id"], r["c_id"], r["rank"], r["sim"])
+        for r in similarity.ann_quantized_rerank(emb).collect()
+    }
+    exp = {
+        (r["q_id"], r["c_id"], r["rank"], r["sim"])
+        for r in similarity.ann_bucketed(emb).collect()
+    }
+    assert got == exp
+    # approx scores are genuinely approximate but close (int8, 64 dims)
+    for r in similarity.ann_quantized_rerank(emb).collect():
+        assert abs(r["approx_sim"] - r["sim"]) < 0.05, r
