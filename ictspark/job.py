@@ -55,27 +55,38 @@ def cmd_batch(args: argparse.Namespace) -> None:
 
 
 def cmd_incremental(args: argparse.Namespace) -> None:
+    """One ingest cycle by default; --cycles N --poll-seconds S runs the
+    reference's AutoUpdate loop (poll every 30 s, main.rs:247-310) — each
+    cycle RE-LISTS the input directory, so files that arrived since the last
+    cycle are picked up, committed days are skipped via the checkpoint, and
+    the still-open day is rewritten."""
     from ictspark import checkpoint as CK
 
     spark = _spark()
-    t = spark.read.parquet(args.transcripts)
     tool_dim = spark.read.parquet(args.tool_dim)
-    # --backfill: one partitioned write for the whole uncommitted backlog
-    # (cold start); the default per-day loop is the steady-state cycle
     fn = CK.backfill if args.backfill else CK.run_incremental
-    processed = fn(
-        spark,
-        t,
-        tool_dim,
-        os.path.join(args.out, "routed"),
-        args.checkpoint,
-        commit_open_day=args.commit_open_day,
-    )
+    cycles: list[list[str]] = []
+    for i in range(max(1, args.cycles)):
+        if i > 0 and args.poll_seconds > 0:
+            time.sleep(args.poll_seconds)
+        # fresh read per cycle: re-list the directory (new files visible)
+        t = spark.read.parquet(args.transcripts)
+        cycles.append(
+            fn(
+                spark,
+                t,
+                tool_dim,
+                os.path.join(args.out, "routed"),
+                args.checkpoint,
+                commit_open_day=args.commit_open_day,
+            )
+        )
     print(
         json.dumps(
             {
                 "mode": "backfill" if args.backfill else "incremental",
-                "partitions_processed": processed,
+                "cycles": len(cycles),
+                "partitions_processed": cycles[-1] if len(cycles) == 1 else cycles,
             }
         )
     )
@@ -135,6 +146,9 @@ def main(argv: list[str] | None = None) -> None:
             # set this for a known-complete backfill so the last day closes too
             s.add_argument("--commit-open-day", action="store_true")
             s.add_argument("--backfill", action="store_true")
+            # AutoUpdate loop analog (main.rs:251: 30 s poll)
+            s.add_argument("--cycles", type=int, default=1)
+            s.add_argument("--poll-seconds", type=float, default=0.0)
         s.set_defaults(fn=fn)
     s = sub.add_parser("changes")
     s.add_argument("--out", required=True)

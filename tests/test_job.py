@@ -105,3 +105,25 @@ def test_job_yield_stream_cli(spark, smoke_sf_dir, capsys):
             for r in A.yields(A.with_attempt(parse.parse_steps(t))).collect()
         }
         assert got == exp
+
+
+def test_job_incremental_poll_loop(spark, smoke_sf_dir, capsys):
+    """AutoUpdate loop analog: --cycles 2 runs two poll cycles in one CLI
+    invocation; cycle 2 reprocesses only the still-open day."""
+    d = synth.synth_dir_for(smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as out:
+        job.main(
+            [
+                "incremental",
+                "--transcripts", os.path.join(d, "transcripts.parquet"),
+                "--tool-dim", os.path.join(d, "tool_dim.parquet"),
+                "--out", out,
+                "--checkpoint", f"{out}/ck",
+                "--cycles", "2",
+            ]
+        )
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["cycles"] == 2
+        c1, c2 = rep["partitions_processed"]
+        assert len(c1) > 1
+        assert c2 == [max(c1)]  # only the open day rewritten on the next poll

@@ -130,3 +130,37 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(nodes, edges, max_iter=50).collect()
         }
         assert got == exp_norm, f"trial {trial}: n={n} edges={raw}"
+
+
+def test_error_bursts_property(spark):
+    """Hypothesis: for arbitrary pass/fail sequences, error_bursts equals a
+    plain-Python fold over the sequence."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.booleans(), min_size=1, max_size=40))
+    def check(fails):
+        rows = [
+            ("conv-0000-01", i, 0, f"s{i}", "fail" if f else "pass")
+            for i, f in enumerate(fails)
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, line_no int, step string, status string"
+        )
+        got = A.error_bursts(df).collect()
+        # python fold
+        n = mx = cur = 0
+        for f in fails:
+            if f:
+                cur += 1
+                n += cur == 1
+                mx = max(mx, cur)
+            else:
+                cur = 0
+        if n == 0:
+            assert got == []
+        else:
+            assert len(got) == 1
+            assert (got[0]["n_bursts"], got[0]["max_burst"]) == (n, mx)
+
+    check()
