@@ -35,6 +35,18 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact content dedup for binary media (what a multimodal corpus runs
+    FIRST — byte-identical assets dominate crawl duplicates): hash-groupBy on
+    md5 of the payload bytes, keep min media_id. md5 over hex(payload) so both
+    engines hash the identical string representation."""
+    return media.groupBy(F.md5(F.hex("payload")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("media_id").alias("keeper"),
+        F.min("media_type").alias("media_type"),
+    )
+
+
 def _decode(payload: bytes, media_type: str, fake: bool):
     """Decode stub. Real decode requires PIL/av/soundfile — not in this
     container. fake=True returns a deterministic stand-in so the Arrow

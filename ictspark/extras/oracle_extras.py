@@ -325,6 +325,29 @@ SELECT vec_id, ROUND(scale, 6) AS scale,
                                      i -> abs(v[i] - qvec[i] * scale))), 6) AS max_abs_err
 FROM qt"""
 
+    q["embedding_norm_stats"] = f"""
+WITH {_NORM},
+agg AS (
+  SELECT label, COUNT(*) AS n, SUM(norm) AS s1, SUM(norm * norm) AS s2
+  FROM n GROUP BY 1
+),
+stats AS (
+  SELECT label, n, s1 / n AS mean_norm,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)) AS sd_norm
+  FROM agg WHERE n > 1
+)
+SELECT n.label, MAX(s.n) AS n,
+       ROUND(MAX(s.mean_norm), 6) AS mean_norm,
+       ROUND(MAX(s.sd_norm), 6) AS sd_norm,
+       CAST(SUM(CASE WHEN abs(n.norm - s.mean_norm) > 3 * s.sd_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM n JOIN stats s ON n.label = s.label
+GROUP BY 1"""
+
+    q["media_dedup"] = f"""
+SELECT md5(hex(payload)) AS fp, COUNT(*) AS n_copies,
+       MIN(media_id) AS keeper, MIN(media_type) AS media_type
+FROM read_parquet('{media_path}') GROUP BY 1"""
+
     q["media_stats"] = f"""
 SELECT media_type, COUNT(*) AS n,
        CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,

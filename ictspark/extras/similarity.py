@@ -267,6 +267,39 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Vector hygiene before ANN indexing: per label, the norm distribution
+    (n, mean, stddev via the explicit clamped sum/sum-sq formula) and the
+    count of norm outliers beyond mean ± 3σ — degenerate vectors (truncated
+    inputs, collapsed encoders) show up here before they poison an index.
+    Two map-side-combinable aggregations + one broadcast join back."""
+    e = _with_norm(embeddings).select("vec_id", "label", "norm")
+    agg = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("norm").alias("s1"),
+        F.sum(F.col("norm") * F.col("norm")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), F.lit(0.0)
+    )
+    stats = agg.where(F.col("n") > 1).select(
+        "label", "n", mean.alias("mean_norm"), F.sqrt(var).alias("sd_norm")
+    )
+    j = e.join(F.broadcast(stats), "label")
+    out = j.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("mean_norm"), 6).alias("mean_norm"),
+        F.round(F.max("sd_norm"), 6).alias("sd_norm"),
+        F.sum(
+            F.when(
+                F.abs(F.col("norm") - F.col("mean_norm")) > 3 * F.col("sd_norm"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+    return out
+
+
 def srp_bands_for(threshold: float, rows: int = SRP_ROWS, target_recall: float = 0.999) -> int:
     """Bands needed so a pair at EXACTLY ``threshold`` cosine is caught with
     probability ≥ target_recall under the LSH OR-construction:
