@@ -98,23 +98,37 @@ def _routed_day_path(out_dir: str, day: str) -> str:
 
 
 def _record_skipped_committed(
-    lin: Lineage, day_counts: dict[str, int], done: set[str], mode: str
+    lin: Lineage, day_counts: dict[str, int], done: set[str], mode: str,
+    entries: list[dict] | None = None,
 ) -> None:
     """Observability for the committed-day immutability rule (ADVICE r02):
     input rows whose day is already committed are dropped — by protocol, not
     by accident — but a silent drop hides the one divergence from the
     reference's push-dedupe (a duplicate key whose older copy sits in a
     committed day keeps BOTH copies in the store). Record the per-day dropped
-    counts as lineage events so operators can see them (zero in the normal
-    tail-append flow; non-zero means a producer re-pushed history)."""
+    counts as lineage events so operators can see them.
+
+    De-duplicated per (day, count): the AutoUpdate poll loop re-LISTS the
+    whole input every cycle, so every committed day reappears with the same
+    count — recording that each cycle would grow the journal without bound
+    while signaling nothing. An event is appended only when the day's
+    incoming count CHANGES from the last recorded one (a genuine re-push of
+    history changes the count; a same-count re-push is already a no-op drop).
+    ``entries`` lets callers pass the journal they already parsed."""
+    entries = lin.entries() if entries is None else entries
+    last_skip: dict[str, int] = {}
+    for e in entries:
+        if e.get("status") == "skipped_committed":
+            last_skip[e["partition"]] = e.get("rows", 0)
     for day in sorted(day_counts):
-        if day in done and day_counts[day] > 0:
+        n = int(day_counts[day])
+        if day in done and n > 0 and last_skip.get(day) != n:
             lin.append(
                 {
                     "partition": day,
                     "status": "skipped_committed",
                     "at": time.time(),
-                    "rows": int(day_counts[day]),
+                    "rows": n,
                     "duration_s": 0.0,
                     "mode": mode,
                 }
@@ -139,7 +153,8 @@ def run_incremental(
     the same ck_dir.
     """
     lin = Lineage(ck_dir)
-    done = lin.committed()
+    lin_entries = lin.entries()  # parsed once; committed + skip-dedupe share it
+    done = {e["partition"] for e in lin_entries if e.get("status") == "committed"}
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
     # NULL/unparseable ts rows have no day partition and are excluded from
     # incremental ingest (dq_report surfaces them); a NULL in the day list
@@ -154,7 +169,7 @@ def run_incremental(
     days = sorted(day_counts)
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
-    _record_skipped_committed(lin, day_counts, done, "incremental")
+    _record_skipped_committed(lin, day_counts, done, "incremental", entries=lin_entries)
     if not todo:
         return []
     # T4: ONE dedupe over the whole uncommitted slice — duplicate
@@ -243,7 +258,8 @@ def backfill(
     import shutil
 
     lin = Lineage(ck_dir)
-    done = lin.committed()
+    lin_entries = lin.entries()
+    done = {e["partition"] for e in lin_entries if e.get("status") == "committed"}
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
     day_counts = {
         r["_day"]: r["n"]
@@ -253,7 +269,7 @@ def backfill(
     days = sorted(day_counts)
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
-    _record_skipped_committed(lin, day_counts, done, "backfill")
+    _record_skipped_committed(lin, day_counts, done, "backfill", entries=lin_entries)
     if not todo:
         return []
     from ictspark.io import dedupe_transcripts

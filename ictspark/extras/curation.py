@@ -112,15 +112,17 @@ def dedup_keep_list(documents: DataFrame) -> DataFrame:
     anti-join the drops; the oracle recomputes components via WITH RECURSIVE,
     so the keep flags are ground-truth-checked end to end."""
     labels = dedup_components(documents)
+    # sizes is O(#components) ≈ O(#docs) on a mostly-unique corpus — a plain
+    # shuffle join on the component key (NOT a broadcast: collecting a
+    # docs-sized table to the driver is exactly the anti-pattern this repo
+    # bans); a count-over-window would also work but the join keeps the
+    # aggregate explicit for the oracle
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
-    out = (
-        labels.join(F.broadcast(sizes), "component")
-        .select(
-            "doc_id",
-            "component",
-            "n_members",
-            (F.col("doc_id") == F.col("component")).alias("keep"),
-        )
+    out = labels.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "n_members",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
     )
     return out
 

@@ -314,7 +314,14 @@ def srp_bands_for(threshold: float, rows: int = SRP_ROWS, target_recall: float =
     import math
 
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p**rows)))
+    # boundary guards: threshold 1.0 → p = 1 (log of 0); threshold → -1 →
+    # p^rows underflows until 1-p^rows rounds to exactly 1.0 (log 1 = 0
+    # divisor); target_recall 1.0 → log of 0. Clamp the per-band collision
+    # probability into the open interval so degenerate inputs get a finite,
+    # conservative answer instead of a math domain / zero-division error.
+    q = min(max(p**rows, 1e-12), 1.0 - 1e-12)  # P[all `rows` bits agree]
+    target_recall = min(target_recall, 1.0 - 1e-12)
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
 
 
 def embedding_dup_pairs(

@@ -462,8 +462,11 @@ GROUP BY 1"""
 WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
 g AS (
   SELECT tool,
-         CAST(epoch_ms(ts) AS DOUBLE) / 1000.0
-         - lag(CAST(epoch_ms(ts) AS DOUBLE) / 1000.0)
+         -- epoch_us, NOT epoch_ms: Spark's ts.cast(double) keeps microsecond
+         -- precision, and flooring to ms would shift sub-ms gaps (latent
+         -- parity break on real, non-whole-second data)
+         CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+         - lag(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)
            OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
   FROM t
 )

@@ -44,20 +44,38 @@ class SnapshotLog:
     def __init__(self, ck_dir: str) -> None:
         os.makedirs(ck_dir, exist_ok=True)
         self.path = os.path.join(ck_dir, "_snapshots.jsonl")
+        # incremental journal parse: entries() re-reads only bytes appended
+        # since the last call (stat + seek), so appends stay O(1) amortized
+        # AND a long-lived consumer instance still sees commits made by OTHER
+        # writers (a whole-journal memo would go stale across instances)
+        self._cache: list[dict] = []
+        self._offset = 0
 
     def entries(self) -> list[dict]:
         if not os.path.exists(self.path):
-            return []
-        out: list[dict] = []
-        with open(self.path) as f:
-            for line in f:
-                if not line.strip():
+            self._cache, self._offset = [], 0
+            return self._cache
+        size = os.path.getsize(self.path)
+        if size < self._offset:  # journal replaced/truncated — full re-parse
+            self._cache, self._offset = [], 0
+        if size > self._offset:
+            with open(self.path, "rb") as f:
+                f.seek(self._offset)
+                chunk = f.read()
+            consumed = 0
+            for raw in chunk.splitlines(keepends=True):
+                if not raw.endswith(b"\n"):
+                    break  # torn/in-flight tail: leave unconsumed for later
+                consumed += len(raw)
+                s = raw.strip()
+                if not s:
                     continue
                 try:
-                    out.append(json.loads(line))
+                    self._cache.append(json.loads(s))
                 except json.JSONDecodeError:
-                    continue  # torn tail — see class docstring
-        return out
+                    continue  # torn line that later got a newline appended
+            self._offset += consumed
+        return self._cache
 
     def current_id(self) -> int:
         return max((e["snapshot_id"] for e in self.entries()), default=0)
@@ -81,6 +99,11 @@ class SnapshotLog:
             os.fsync(fd)
         finally:
             os.close(fd)
+        # current_id() above primed the cache; account for our own append so
+        # the next entries() doesn't double-read it (another writer's appends
+        # still surface via the size check)
+        self._cache.append(rec)
+        self._offset += len(line)
         return sid
 
 
@@ -119,12 +142,20 @@ def changes_since(
     replaced within the range appears only in replaced_days."""
     snaps = [e for e in log.entries() if e["snapshot_id"] > after_snapshot_id]
     replaced = {e["partition"] for e in snaps if e["operation"] == "replace"}
-    added = [
-        f
-        for e in snaps
-        if e["operation"] == "append" and e["partition"] not in replaced
-        for f in e["added_files"]
-    ]
+    added: list[str] = []
+    for e in snaps:
+        if e["operation"] != "append" or e["partition"] in replaced:
+            continue
+        files = e["added_files"]
+        if all(os.path.exists(os.path.join(out_dir, f)) for f in files):
+            added.extend(files)
+        else:
+            # an append snapshot whose files are gone means a rewrite happened
+            # without (yet) recording its replace snapshot — a crashed rewrite
+            # window. Degrade exactly as Iceberg's refuse-overwrite rule does:
+            # hand the partition to the full-re-read path instead of erroring
+            # on a dead file list.
+            replaced.add(e["partition"])
     appended = None
     if added:
         appended = spark.read.option("basePath", out_dir).parquet(

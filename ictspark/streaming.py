@@ -214,27 +214,37 @@ def run_yield_state_loop(stream_df: DataFrame, state_dir: str, checkpoint: str) 
     os.makedirs(state_dir, exist_ok=True)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+        import uuid
+
         s = batch.sparkSession
         new = parse.parse_steps(batch).select(
             "session_id",
             *_YIELD_STATE_KEY,
             (F.col("status") != "pass").cast("int").alias("fail"),
         )
+        ptr = _state_pointer(state_dir)
+        prev = None
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
         cur = read_yield_state(s, state_dir)
         merged = new if cur is None else cur.unionByName(new)
         merged = merged.dropDuplicates(_YIELD_STATE_KEY)
-        vname = f"v{batch_id}"
+        # UNIQUE dir per attempt — never a name derivable from an earlier
+        # flip, so a batch re-delivered after a crash-between-flip-and-
+        # checkpoint-commit merges into a FRESH dir instead of overwriting
+        # the very files it is reading (the merge is idempotent through
+        # dropDuplicates, so re-merging an already-applied batch is a no-op)
+        vname = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, vname))
-        tmp = _state_pointer(state_dir) + ".tmp"
+        tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
             f.write(vname)
-        os.replace(tmp, _state_pointer(state_dir))
-        # retention: keep current + previous version only (previous stays as
-        # the crash-recovery target while the pointer flip of the NEXT batch
-        # is in flight) — state disk stays O(2×state), not O(batches)
-        import shutil
-
-        keep = {vname, f"v{batch_id - 1}"}
+        os.replace(tmp, ptr)
+        # retention: keep the new current + the version it replaced (the
+        # crash-recovery target) — state disk stays O(2×state), not O(batches)
+        keep = {vname, prev}
         for d in os.listdir(state_dir):
             if d.startswith("v") and d not in keep and os.path.isdir(os.path.join(state_dir, d)):
                 shutil.rmtree(os.path.join(state_dir, d))

@@ -381,3 +381,11 @@ def test_quantized_rerank_recovers_exact_topk(emb):
     # approx scores are genuinely approximate but close (int8, 64 dims)
     for r in similarity.ann_quantized_rerank(emb).collect():
         assert abs(r["approx_sim"] - r["sim"]) < 0.05, r
+
+
+def test_srp_bands_for_boundary_inputs():
+    """Degenerate thresholds must return finite, conservative answers, never
+    math-domain or zero-division errors (code-review r03)."""
+    assert similarity.srp_bands_for(1.0) == 1  # exact duplicates: any band catches them
+    assert similarity.srp_bands_for(-1.0) >= 1  # anti-correlated: finite (huge) answer
+    assert similarity.srp_bands_for(0.5, target_recall=1.0) >= similarity.srp_bands_for(0.5)
