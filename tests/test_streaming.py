@@ -181,3 +181,28 @@ def test_product_hourly_stream_equals_batch(spark, stream_src, smoke_sf_dir):
         assert exp[k] == v
     missing_hours = {k[0] for k in exp} - {k[0] for k in got}
     assert len(missing_hours) <= 2  # only trailing open windows withheld
+
+
+def test_yield_state_redelivery_with_pointer_at_same_batch(spark, smoke_sf_dir, tmp_path):
+    """Code-review r03: after a crash between the pointer flip and the stream
+    checkpoint commit, the SAME batch_id is re-delivered while the pointer
+    already names that batch's version. Simulated by two single-batch drains
+    with fresh checkpoints (both are batch 0): the second merge must read the
+    current state and write a NEW dir — never overwrite the dir it reads —
+    and leave the state unchanged."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    src = str(tmp_path / "src")
+    t.coalesce(1).write.parquet(src)
+    state_dir = str(tmp_path / "state")
+
+    def drain(ck):
+        s = spark.readStream.schema(t.schema).parquet(src)  # one batch
+        streaming.run_yield_state_loop(s, state_dir, str(tmp_path / ck))
+
+    drain("ck1")
+    exp = {tuple(r) for r in streaming.yields_from_state(
+        streaming.read_yield_state(spark, state_dir)).collect()}
+    drain("ck2")  # batch 0 re-delivered; pointer already at a v0-* version
+    got = {tuple(r) for r in streaming.yields_from_state(
+        streaming.read_yield_state(spark, state_dir)).collect()}
+    assert got == exp
