@@ -77,6 +77,15 @@ class Lineage:
 
     def append(self, rec: dict) -> None:
         line = (json.dumps(rec) + "\n").encode()
+        # torn-tail heal: appending straight after a newline-less torn line
+        # would glue this record onto it and lose both to the parser (one
+        # extra idempotent reprocess cycle for lineage; snapshot-id reuse for
+        # the snapshot journal — so both journals heal the same way)
+        if os.path.exists(self.path) and os.path.getsize(self.path) > 0:
+            with open(self.path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    line = b"\n" + line
         fd = os.open(self.path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
         try:
             os.write(fd, line)
@@ -97,9 +106,37 @@ def _routed_day_path(out_dir: str, day: str) -> str:
     return os.path.join(out_dir, f"day={day}")
 
 
+def _day_stats(t: DataFrame) -> tuple[dict[str, int], dict[str, int]]:
+    """One aggregation over the input: per-day row counts AND a content
+    signature (sum of crc32 over (conv_id, turn_idx, ts)) — order-independent,
+    deterministic, and any row added/removed/re-timestamped changes it with
+    overwhelming probability. The signature is what lets an idle poll cycle
+    prove 'the open day is byte-identical to what I already wrote' without
+    re-running parse+enrich (code-review r03: a 30 s poll loop otherwise
+    rewrites the open day and appends journal rows forever on idle input)."""
+    sig = F.sum(
+        F.crc32(
+            F.concat_ws(
+                "|", "conv_id", F.col("turn_idx").cast("string"), F.col("ts").cast("string")
+            )
+        )
+    ).alias("sig")
+    rows = t.groupBy("_day").agg(F.count(F.lit(1)).alias("n"), sig).collect()
+    counts = {r["_day"]: r["n"] for r in rows if r["_day"] is not None}
+    sigs = {r["_day"]: int(r["sig"]) for r in rows if r["_day"] is not None}
+    return counts, sigs
+
+
+def _last_open_event(entries: list[dict], day: str) -> dict | None:
+    for e in reversed(entries):
+        if e.get("partition") == day and e.get("status") == "open":
+            return e
+    return None
+
+
 def _record_skipped_committed(
-    lin: Lineage, day_counts: dict[str, int], done: set[str], mode: str,
-    entries: list[dict] | None = None,
+    lin: Lineage, day_counts: dict[str, int], day_sigs: dict[str, int],
+    done: set[str], mode: str, entries: list[dict] | None = None,
 ) -> None:
     """Observability for the committed-day immutability rule (ADVICE r02):
     input rows whose day is already committed are dropped — by protocol, not
@@ -131,6 +168,10 @@ def _record_skipped_committed(
                     "rows": n,
                     "duration_s": 0.0,
                     "mode": mode,
+                    # same keys as commit/open events — lineage rows stay
+                    # schema-homogeneous for lineage_metrics
+                    "input_rows": n,
+                    "input_sig": day_sigs.get(day, 0),
                 }
             )
 
@@ -159,17 +200,27 @@ def run_incremental(
     # NULL/unparseable ts rows have no day partition and are excluded from
     # incremental ingest (dq_report surfaces them); a NULL in the day list
     # would otherwise never match the isin() filter and wedge resume forever.
-    # groupBy-count instead of distinct: same single shuffle also yields the
-    # per-day input row counts used for the skipped-committed metric below.
-    day_counts = {
-        r["_day"]: r["n"]
-        for r in t.groupBy("_day").agg(F.count(F.lit(1)).alias("n")).collect()
-        if r["_day"] is not None
-    }
+    # One aggregation yields per-day counts (skipped-committed metric) AND
+    # content signatures (idle open-day skip below).
+    day_counts, day_sigs = _day_stats(t)
     days = sorted(day_counts)
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
-    _record_skipped_committed(lin, day_counts, done, "incremental", entries=lin_entries)
+    # idle-poll fast path: if the still-open day's input is content-identical
+    # to what the last cycle already wrote (same count + same crc32 signature,
+    # recorded in its 'open' lineage event), skip its rewrite AND its journal
+    # appends — a 30 s AutoUpdate loop on idle input otherwise reprocesses the
+    # day and grows both journals forever. Any new/changed/re-timestamped row
+    # changes the signature and forces the rewrite.
+    if open_day is not None and open_day in todo:
+        last = _last_open_event(lin_entries, open_day)
+        if (
+            last is not None
+            and last.get("input_rows") == day_counts[open_day]
+            and last.get("input_sig") == day_sigs[open_day]
+        ):
+            todo = [d for d in todo if d != open_day]
+    _record_skipped_committed(lin, day_counts, day_sigs, done, "incremental", entries=lin_entries)
     if not todo:
         return []
     # T4: ONE dedupe over the whole uncommitted slice — duplicate
@@ -213,6 +264,8 @@ def run_incremental(
                 "rows": int(n),
                 "duration_s": round(time.time() - t0, 3),
                 "mode": "incremental",
+                "input_rows": int(day_counts[day]),
+                "input_sig": day_sigs[day],
             }
             if day == open_day:
                 lin.mark_open(day, **metrics)
@@ -261,15 +314,11 @@ def backfill(
     lin_entries = lin.entries()
     done = {e["partition"] for e in lin_entries if e.get("status") == "committed"}
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
-    day_counts = {
-        r["_day"]: r["n"]
-        for r in t.groupBy("_day").agg(F.count(F.lit(1)).alias("n")).collect()
-        if r["_day"] is not None
-    }
+    day_counts, day_sigs = _day_stats(t)
     days = sorted(day_counts)
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
-    _record_skipped_committed(lin, day_counts, done, "backfill", entries=lin_entries)
+    _record_skipped_committed(lin, day_counts, day_sigs, done, "backfill", entries=lin_entries)
     if not todo:
         return []
     from ictspark.io import dedupe_transcripts
@@ -313,7 +362,13 @@ def backfill(
     slog = SnapshotLog(ck_dir)
     for day in todo:
         snapshot_day_write(slog, out_dir, day)
-        metrics = {"rows": int(counts.get(day, 0)), "duration_s": wall, "mode": "backfill"}
+        metrics = {
+            "rows": int(counts.get(day, 0)),
+            "duration_s": wall,
+            "mode": "backfill",
+            "input_rows": int(day_counts[day]),
+            "input_sig": day_sigs[day],
+        }
         if day == open_day:
             lin.mark_open(day, **metrics)
         else:

@@ -124,6 +124,13 @@ def dedup_keep_list(documents: DataFrame) -> DataFrame:
         "n_members",
         (F.col("doc_id") == F.col("component")).alias("keep"),
     )
+    # materialize the (small: 4 narrow cols × #docs) result eagerly, then
+    # release the labels cache dedup_components left persisted — otherwise
+    # every invocation leaks one docs-sized cached frame for the session
+    # lifetime (code-review r03); the checkpoint blocks are reclaimed by the
+    # ContextCleaner once the returned frame is unreferenced
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
     return out
 
 

@@ -27,6 +27,21 @@ def _tokens(documents: DataFrame) -> DataFrame:
 MAX_SHINGLE_DF = 100  # document-frequency cap: shingles in more docs are dropped
 
 
+def word_trigrams(documents: DataFrame) -> DataFrame:
+    """NON-distinct word 3-grams per doc: (doc_id, shingle), one row per
+    occurrence. The single tokenization+trigram definition shared by the
+    dedup family (via shingles) and textstats.repetition_score — one Spark
+    copy against the oracle's one _TOKS copy, so they cannot drift apart."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = _tokens(documents)
+    return (
+        t.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("shingle"))
+    )
+
+
 def shingles(documents: DataFrame, n: int = 3, max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """Distinct word n-gram shingles per doc (n=3), df-capped.
 
@@ -40,15 +55,7 @@ def shingles(documents: DataFrame, n: int = 3, max_df: int | None = MAX_SHINGLE_
     pass over the documents. The DuckDB oracle applies the identical cap
     (oracle_extras._SHINGLES), so parity hashes prove both engines see the
     same definition."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t = _tokens(documents)
-    sh = (
-        t.withColumn("t1", F.lead("token", 1).over(w))
-        .withColumn("t2", F.lead("token", 2).over(w))
-        .where(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("shingle"))
-        .distinct()
-    )
+    sh = word_trigrams(documents).distinct()
     if max_df is not None:
         sh = (
             sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))

@@ -57,21 +57,12 @@ def fingerprint(documents: DataFrame) -> DataFrame:
 def repetition_score(documents: DataFrame) -> DataFrame:
     """Boilerplate/repetition quality signal: per doc, the most frequent word
     3-gram's share of all (non-distinct) 3-grams. Machine-generated or
-    template text scores high; natural prose low. Explode → two aggregations,
-    both map-side combinable; no windows over the raw corpus."""
-    w_doc = F.split(F.lower("text"), " ")
-    toks = documents.select(
-        "doc_id", F.posexplode(F.filter(w_doc, lambda t: t != "")).alias("pos", "token")
-    )
-    from pyspark.sql import Window
+    template text scores high; natural prose low. Trigrams come from the ONE
+    shared definition (dedup.word_trigrams) so this can never drift from the
+    oracle's _TOKS tokenization; then two map-side-combinable aggregations."""
+    from ictspark.extras.dedup import word_trigrams
 
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        toks.withColumn("t1", F.lead("token", 1).over(w))
-        .withColumn("t2", F.lead("token", 2).over(w))
-        .where(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("tri"))
-    )
+    tri = word_trigrams(documents).withColumnRenamed("shingle", "tri")
     per = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
     return per.groupBy("doc_id").agg(
         F.sum("n").alias("n_trigrams"),

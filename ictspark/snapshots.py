@@ -93,6 +93,16 @@ class SnapshotLog:
             "at": time.time(),
         }
         line = (json.dumps(rec) + "\n").encode()
+        # heal a torn tail BEFORE appending: a crash mid-append can leave the
+        # journal without a trailing newline, and appending directly would
+        # glue the new record onto the partial line — losing BOTH to the
+        # parser (and re-issuing this snapshot_id). A leading newline turns
+        # the torn bytes into their own (skipped) line and keeps ours intact.
+        if os.path.exists(self.path) and os.path.getsize(self.path) > 0:
+            with open(self.path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    line = b"\n" + line
         fd = os.open(self.path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
         try:
             os.write(fd, line)
@@ -100,10 +110,11 @@ class SnapshotLog:
         finally:
             os.close(fd)
         # current_id() above primed the cache; account for our own append so
-        # the next entries() doesn't double-read it (another writer's appends
-        # still surface via the size check)
+        # the next entries() doesn't double-read it. Resync the offset to EOF:
+        # it may have been sitting BEFORE an unconsumed torn tail, which our
+        # newline just closed (the skipped garbage line is now behind us).
         self._cache.append(rec)
-        self._offset += len(line)
+        self._offset = os.path.getsize(self.path)
         return sid
 
 

@@ -259,19 +259,14 @@ def run_yield_state_loop(stream_df: DataFrame, state_dir: str, checkpoint: str) 
 
 
 def yields_from_state(state: DataFrame) -> DataFrame:
-    """A1/A2 yield grains from the step-skeleton state table — identical math
-    to aggregates.with_attempt → run_grain → yields_from_run_grain, but over
-    the compact state (the incremental-aggregate read path; raw transcripts
-    are never rescanned)."""
-    from pyspark.sql import Window
-
+    """A1/A2 yield grains from the step-skeleton state table — THE batch
+    attempt/is_last definition (aggregates.with_attempt) applied to the
+    compact state, then run_grain → yields_from_run_grain. Reusing
+    with_attempt (not a copy of its windows) means the streaming path can
+    never drift from the batch report it is pinned to equal."""
     from ictspark import aggregates as A
 
-    asc = Window.partitionBy("conv_id", "step").orderBy("turn_idx", "line_no")
-    unord = Window.partitionBy("conv_id", "step")
-    sa = state.withColumn("attempt", F.row_number().over(asc)).withColumn(
-        "is_last", F.row_number().over(asc) == F.count("*").over(unord)
-    )
+    sa = A.with_attempt(state)
     ca = sa.groupBy("session_id", "conv_id", "attempt").agg(
         F.max("fail").alias("any_fail"),
         F.max(F.when(F.col("is_last") & (F.col("fail") == 1), 1).otherwise(0)).alias(

@@ -89,7 +89,9 @@ def test_idempotent_rerun(spark, smoke_sf_dir):
         first = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
         again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
         assert len(first) > 2
-        assert again == [max(first)]  # open day rewritten, nothing else
+        # r03: an idle rerun on content-identical input skips even the open
+        # day (crc32 signature match) — nothing reprocessed, journals stop
+        assert again == []
         # store unchanged by the rewrite
         got = CK.read_all_routed(spark, f"{d}/out").drop("day")
         exp = _cold_routed(spark, smoke_sf_dir)
@@ -131,7 +133,12 @@ def test_lineage_tolerates_torn_tail(spark, smoke_sf_dir):
             f.write('{"partition": "2024-99-99", "status": "comm')  # torn line
         assert len(lin.committed()) == n_committed  # torn line skipped
         again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
-        assert again == [max(first)]  # resume still works
+        assert again == []  # resume works; idle open day skipped (r03)
+        # the append-side heal: a record written AFTER the torn tail must not
+        # glue onto it — both must stay parseable/skipped independently
+        lin.append({"partition": "x", "status": "open", "at": 0.0, "rows": 0,
+                    "duration_s": 0.0, "mode": "t", "input_rows": 0, "input_sig": 0})
+        assert any(e.get("partition") == "x" for e in lin.entries())
 
 
 def test_backfill_equals_cold_and_interops(spark, smoke_sf_dir):
@@ -152,9 +159,10 @@ def test_backfill_equals_cold_and_interops(spark, smoke_sf_dir):
         # lineage metrics homogeneous + correct totals
         m = {r["partition"]: r["rows"] for r in CK.lineage_metrics(spark, f"{d}/ck").collect()}
         assert sum(m.values()) == exp.count()
-        # an incremental cycle continues the same checkpoint seamlessly
+        # an incremental cycle continues the same checkpoint seamlessly —
+        # and on identical input the open day's signature match skips it
         again = CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
-        assert again == [max(processed)]
+        assert again == []
         got2 = CK.read_all_routed(spark, f"{d}/out").drop("day")
         assert got2.count() == exp.count()
 
@@ -235,3 +243,30 @@ def test_fully_deduped_day_commits_empty(spark, smoke_sf_dir):
 
             exp = enrich.enrich_steps(parse.parse_steps(dedupe_transcripts(t2)), tool_dim)
             assert got.count() == exp.count(), mode
+
+
+def test_idle_poll_cycles_do_not_grow_journals(spark, smoke_sf_dir):
+    """Code-review r03: a 30 s poll loop on idle input must not reprocess the
+    open day or append lineage/snapshot rows every cycle."""
+    from ictspark import snapshots as SN
+
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        # first idle cycle records one skipped_committed per committed day
+        # (the poll re-lists them) — AFTER that, journals must stop growing
+        assert CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck") == []
+        n_lin = len(CK.Lineage(f"{d}/ck").entries())
+        n_snap = len(SN.SnapshotLog(f"{d}/ck").entries())
+        for _ in range(3):  # three more idle cycles
+            assert CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck") == []
+        assert len(CK.Lineage(f"{d}/ck").entries()) == n_lin
+        assert len(SN.SnapshotLog(f"{d}/ck").entries()) == n_snap
+        # a genuinely new row for the open day forces the rewrite again
+        max_day = t.select(F.max(F.to_date("ts")).alias("d")).first()["d"]
+        extra = t.where(F.to_date("ts") == F.lit(max_day)).limit(1).withColumn(
+            "turn_idx", F.col("turn_idx") + 10000
+        )
+        got = CK.run_incremental(spark, t.unionByName(extra), tool_dim, f"{d}/out", f"{d}/ck")
+        assert got == [str(max_day)]

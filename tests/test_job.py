@@ -45,8 +45,9 @@ def test_job_incremental_cli(spark, smoke_sf_dir, capsys):
         assert len(first["partitions_processed"]) > 1
         job.main(args)
         second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        # only the open (max) day is reprocessed on rerun
-        assert second["partitions_processed"] == [max(first["partitions_processed"])]
+        # rerun on identical input: the open day's signature matches the last
+        # cycle's, so nothing is reprocessed (r03 idle-poll fast path)
+        assert second["partitions_processed"] == []
         routed_dir = os.path.join(out, "routed")
         n = spark.read.option("basePath", routed_dir).parquet(os.path.join(routed_dir, "day=*")).count()
         exp = io.load_transcripts(spark, smoke_sf_dir)
@@ -126,4 +127,4 @@ def test_job_incremental_poll_loop(spark, smoke_sf_dir, capsys):
         assert rep["cycles"] == 2
         c1, c2 = rep["partitions_processed"]
         assert len(c1) > 1
-        assert c2 == [max(c1)]  # only the open day rewritten on the next poll
+        assert c2 == []  # idle poll: open day unchanged, nothing rewritten
