@@ -152,6 +152,31 @@ def product_hourly_stream(
     )
 
 
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming gap-based sessionization over the events table using Spark's
+    built-in session_window — the dynamic-gap session aggregation that the
+    batch events_sessionize computes with lag+cumsum, here as a stateful
+    streaming query where the WATERMARK closes sessions (a session emits once
+    no event can extend it). Works identically in batch mode, which is what
+    the parity test exploits; note the boundary convention differs from the
+    lag-based batch query by design: session_window starts a new session at
+    gap ≥ 30 min (window end exclusive), the lag rule at gap > 30 min."""
+    e = events.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return (
+        e.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def dedupe_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming T4: exactly-once-ish ingest dedupe on (conv_id, turn_idx)
     with bounded state — dropDuplicatesWithinWatermark evicts keys older than

@@ -206,3 +206,34 @@ def test_yield_state_redelivery_with_pointer_at_same_batch(spark, smoke_sf_dir, 
     got = {tuple(r) for r in streaming.yields_from_state(
         streaming.read_yield_state(spark, state_dir)).collect()}
     assert got == exp
+
+
+def test_sessionize_stream_equals_batch_session_windows(spark, tmp_path):
+    """Streaming session_window aggregation == the SAME session_window run in
+    batch over the same events (batch/stream unification); only sessions the
+    watermark could not close may be withheld."""
+    ev = io.load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.parquet(src)
+    s = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = streaming.sessionize_stream(s)
+    with tempfile.TemporaryDirectory() as ck:
+        rows = streaming.run_available_now(agg, ck, output_mode="append")
+    got = {(r["user_id"], r["sess_start"]): (r["sess_end"], r["n_events"]) for r in rows}
+    exp_rows = streaming.sessionize_stream(ev).collect()  # same code, batch mode
+    exp = {(r["user_id"], r["sess_start"]): (r["sess_end"], r["n_events"]) for r in exp_rows}
+    assert got  # sessions actually emitted
+    for k, v in got.items():
+        assert exp[k] == v
+    # only trailing (watermark-open) sessions may be withheld — they must all
+    # sit in the stream's tail (start later than the median emitted session)
+    missing = set(exp) - set(got)
+    if missing:
+        emitted_starts = sorted(s for _, s in got)
+        median_start = emitted_starts[len(emitted_starts) // 2]
+        assert all(s >= median_start for _, s in missing), (missing, median_start)
+        assert len(missing) < len(exp) * 0.2
