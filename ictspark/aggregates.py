@@ -530,6 +530,94 @@ def error_bursts(steps_a: DataFrame) -> DataFrame:
     )
 
 
+def limit_regime_asof(steps_a: DataFrame) -> DataFrame:
+    """AS-OF (backward) join — the canonical operator Spark lacks natively,
+    expressed as a composition: each measured execution is joined to the
+    limit REGIME in effect at its timestamp (the most recent limit-change
+    event at-or-before ts, per step). The reference warns limits changed
+    (main.rs:1322-1345); this answers "under WHICH limits was this value
+    measured?" for every row.
+
+    Scale shape: regime events (bounded by catalog × change count — tiny) are
+    UNIONed with the query rows and a single last-non-null carry-forward
+    window over (step) ordered by (ts, marker) assigns each query its
+    regime. One shuffle on the step key, no per-row subquery, no range join
+    explosion — the standard big-data as-of composition. Ties: a query at
+    exactly the change timestamp sees the NEW regime (marker orders regime
+    rows first), matching DuckDB's native `ASOF JOIN ... ON q.ts >= r.rts`,
+    which is exactly what the oracle runs — engine-native as-of semantics
+    cross-checking the composition."""
+    lim = steps_a.where(F.col("lo").isNotNull())
+    w = Window.partitionBy("step").orderBy("ts", "conv_id", "turn_idx", "line_no")
+    tup = F.struct("lo", "nom", "hi")
+    ev = (
+        lim.withColumn("prev", F.lag(tup).over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != tup))
+        .select(
+            "step",
+            F.col("ts").alias("rts"),
+            F.col("lo").alias("regime_lo"),
+            F.col("hi").alias("regime_hi"),
+            "conv_id",
+            "turn_idx",
+            "line_no",
+        )
+    )
+    # one regime per (step, rts): keep the LAST event at that instant under
+    # the same deterministic order both engines use
+    wd = Window.partitionBy("step", "rts").orderBy(
+        F.desc("conv_id"), F.desc("turn_idx"), F.desc("line_no")
+    )
+    ev1 = ev.withColumn("_rn", F.row_number().over(wd)).where("_rn = 1")
+    r_side = ev1.select(
+        "step",
+        F.col("rts").alias("ts"),
+        F.lit(0).alias("marker"),
+        "rts",
+        "regime_lo",
+        "regime_hi",
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(None).cast("int").alias("line_no"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    q_side = steps_a.where(F.col("value").isNotNull()).select(
+        "step",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("timestamp_ntz").alias("rts"),
+        F.lit(None).cast("double").alias("regime_lo"),
+        F.lit(None).cast("double").alias("regime_hi"),
+        "conv_id",
+        "turn_idx",
+        "line_no",
+        "value",
+    )
+    u = r_side.unionByName(q_side)
+    carry = (
+        Window.partitionBy("step")
+        .orderBy("ts", "marker", "conv_id", "turn_idx", "line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.withColumn("c_lo", F.last("regime_lo", ignorenulls=True).over(carry))
+        .withColumn("c_hi", F.last("regime_hi", ignorenulls=True).over(carry))
+        .withColumn("c_since", F.last("rts", ignorenulls=True).over(carry))
+        .where("marker = 1")
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "line_no",
+        "step",
+        fmt_ts("ts"),
+        "value",
+        F.col("c_lo").alias("regime_lo"),
+        F.col("c_hi").alias("regime_hi"),
+        F.date_format("c_since", TS_FMT).alias("regime_since"),
+    )
+
+
 def conv_reports(transcripts: DataFrame) -> DataFrame:
     """Raw per-conv report reconstruction (get_report_for_SB analog,
     log_info_window.rs:27-54): full conversation text, turns in order.

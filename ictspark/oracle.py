@@ -475,6 +475,29 @@ SELECT tool, COUNT(*) AS n_calls,
        ROUND(MAX(gap_s), 4) AS max_gap_s
 FROM g WHERE tool IS NOT NULL AND gap_s IS NOT NULL GROUP BY 1"""
 
+    q["limit_regime_asof"] = p + f"""
+, lim AS (SELECT * FROM steps_a WHERE lo IS NOT NULL),
+ev0 AS (
+  SELECT step, ts, conv_id, turn_idx, line_no, lo, nom, hi,
+         lag(ts) OVER w AS pts,
+         lag(lo) OVER w AS plo, lag(nom) OVER w AS pnom, lag(hi) OVER w AS phi
+  FROM lim WINDOW w AS (PARTITION BY step ORDER BY ts, conv_id, turn_idx, line_no)
+),
+ev AS (
+  SELECT step, ts AS rts, lo AS regime_lo, hi AS regime_hi,
+         ROW_NUMBER() OVER (PARTITION BY step, ts
+                            ORDER BY conv_id DESC, turn_idx DESC, line_no DESC) AS rn
+  FROM ev0
+  WHERE pts IS NULL
+     OR plo IS DISTINCT FROM lo OR pnom IS DISTINCT FROM nom OR phi IS DISTINCT FROM hi
+),
+ev1 AS (SELECT step, rts, regime_lo, regime_hi FROM ev WHERE rn = 1),
+qrows AS (SELECT * FROM steps_a WHERE "value" IS NOT NULL)
+SELECT q.conv_id, q.turn_idx, q.line_no, q.step, strftime(q.ts, '{_TSF}') AS ts,
+       q."value" AS value, r.regime_lo, r.regime_hi,
+       strftime(r.rts, '{_TSF}') AS regime_since
+FROM qrows q ASOF LEFT JOIN ev1 r ON q.step = r.step AND q.ts >= r.rts"""
+
     q["error_bursts"] = p + """
 , d AS (
   SELECT conv_id, turn_idx, line_no,

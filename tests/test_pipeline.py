@@ -89,3 +89,34 @@ def test_error_bursts_islands(spark):
     out = A.error_bursts(df).collect()
     assert len(out) == 1
     assert out[0]["n_bursts"] == 2 and out[0]["max_burst"] == 3
+
+
+def test_limit_regime_asof_semantics(spark):
+    """As-of join: queries see the most recent regime at-or-before their ts;
+    a query AT the change instant sees the NEW regime; queries before any
+    regime get nulls."""
+    from ictspark import aggregates as A
+    from datetime import datetime
+
+    def row(conv, turn, line, step, status, val, lo, nom, hi, ts):
+        return (conv, "s", 1, turn, line, step, status, val, lo, nom, hi, ts, "t")
+
+    schema = ("conv_id string, session_id string, board_idx int, turn_idx int, line_no int,"
+              " step string, status string, value double, lo double, nom double, hi double,"
+              " ts timestamp_ntz, tool string")
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    t1 = datetime(2024, 3, 1, 11, 0, 0)
+    t2 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        row("a-01", 0, 0, "r1", "pass", 5.0, 1.0, 2.0, 3.0, t0),   # regime A starts
+        row("b-01", 1, 0, "r1", "pass", 6.0, 1.0, 2.0, 3.0, t1),   # still A
+        row("c-01", 2, 0, "r1", "pass", 7.0, 9.0, 10.0, 11.0, t2), # regime B starts HERE
+        row("d-01", 3, 0, "r1", "pass", 8.0, 9.0, 10.0, 11.0, t2), # at change instant → B
+    ]
+    df = spark.createDataFrame(rows, schema)
+    sa = A.with_attempt(df)
+    out = {r["conv_id"]: (r["regime_lo"], r["regime_since"]) for r in A.limit_regime_asof(sa).collect()}
+    assert out["a-01"] == (1.0, "2024-03-01 10:00:00")
+    assert out["b-01"] == (1.0, "2024-03-01 10:00:00")
+    assert out["c-01"] == (9.0, "2024-03-01 12:00:00")
+    assert out["d-01"] == (9.0, "2024-03-01 12:00:00")
