@@ -73,7 +73,7 @@ class Lineage:
         return out
 
     def committed(self) -> set[str]:
-        return {e["partition"] for e in self.entries() if e.get("status") == "committed"}
+        return committed_partitions(self.entries())
 
     def append(self, rec: dict) -> None:
         line = (json.dumps(rec) + "\n").encode()
@@ -102,6 +102,13 @@ class Lineage:
         self.append({"partition": partition, "status": "open", "at": time.time(), **metrics})
 
 
+def committed_partitions(entries: list[dict]) -> set[str]:
+    """THE definition of 'committed' — one predicate shared by
+    Lineage.committed() and both entry points (which parse the journal once
+    and pass the entries around)."""
+    return {e["partition"] for e in entries if e.get("status") == "committed"}
+
+
 def _routed_day_path(out_dir: str, day: str) -> str:
     return os.path.join(out_dir, f"day={day}")
 
@@ -114,10 +121,21 @@ def _day_stats(t: DataFrame) -> tuple[dict[str, int], dict[str, int]]:
     prove 'the open day is byte-identical to what I already wrote' without
     re-running parse+enrich (code-review r03: a 30 s poll loop otherwise
     rewrites the open day and appends journal rows forever on idle input)."""
+    # the signature covers EVERY column the pipeline consumes — text included
+    # (parse reads it; a re-push with changed text but unchanged keys/ts must
+    # invalidate the skip) — with a NUL sentinel for nullable fields so a null
+    # can never alias a shifted value under concat_ws's null-skipping
+    nul = F.lit("\u0000")
     sig = F.sum(
         F.crc32(
             F.concat_ws(
-                "|", "conv_id", F.col("turn_idx").cast("string"), F.col("ts").cast("string")
+                "|",
+                "conv_id",
+                F.col("turn_idx").cast("string"),
+                F.col("ts").cast("string"),
+                F.coalesce("role", nul),
+                F.coalesce("tool", nul),
+                F.coalesce("text", nul),
             )
         )
     ).alias("sig")
@@ -145,21 +163,21 @@ def _record_skipped_committed(
     committed day keeps BOTH copies in the store). Record the per-day dropped
     counts as lineage events so operators can see them.
 
-    De-duplicated per (day, count): the AutoUpdate poll loop re-LISTS the
-    whole input every cycle, so every committed day reappears with the same
-    count — recording that each cycle would grow the journal without bound
-    while signaling nothing. An event is appended only when the day's
-    incoming count CHANGES from the last recorded one (a genuine re-push of
-    history changes the count; a same-count re-push is already a no-op drop).
+    De-duplicated per (day, count, content-signature): the AutoUpdate poll
+    loop re-LISTS the whole input every cycle, so every committed day
+    reappears identically — recording that each cycle would grow the journal
+    without bound while signaling nothing. An event is appended only when the
+    day's incoming (count, crc32 signature) differs from the last recorded
+    one, so even a same-count re-push of DIFFERENT history is surfaced.
     ``entries`` lets callers pass the journal they already parsed."""
     entries = lin.entries() if entries is None else entries
-    last_skip: dict[str, int] = {}
+    last_skip: dict[str, tuple] = {}
     for e in entries:
         if e.get("status") == "skipped_committed":
-            last_skip[e["partition"]] = e.get("rows", 0)
+            last_skip[e["partition"]] = (e.get("rows", 0), e.get("input_sig"))
     for day in sorted(day_counts):
         n = int(day_counts[day])
-        if day in done and n > 0 and last_skip.get(day) != n:
+        if day in done and n > 0 and last_skip.get(day) != (n, day_sigs.get(day)):
             lin.append(
                 {
                     "partition": day,
@@ -195,7 +213,7 @@ def run_incremental(
     """
     lin = Lineage(ck_dir)
     lin_entries = lin.entries()  # parsed once; committed + skip-dedupe share it
-    done = {e["partition"] for e in lin_entries if e.get("status") == "committed"}
+    done = committed_partitions(lin_entries)
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
     # NULL/unparseable ts rows have no day partition and are excluded from
     # incremental ingest (dq_report surfaces them); a NULL in the day list
@@ -212,14 +230,18 @@ def run_incremental(
     # appends — a 30 s AutoUpdate loop on idle input otherwise reprocesses the
     # day and grows both journals forever. Any new/changed/re-timestamped row
     # changes the signature and forces the rewrite.
-    if open_day is not None and open_day in todo:
+    # Only when the open day is the SOLE uncommitted day: if any other
+    # uncommitted day exists, the T4 dedupe slice must include the open day's
+    # rows (a duplicate key straddling the two days would otherwise escape
+    # the newest-wins window and double-count — code-review r03).
+    if todo == [open_day]:
         last = _last_open_event(lin_entries, open_day)
         if (
             last is not None
             and last.get("input_rows") == day_counts[open_day]
             and last.get("input_sig") == day_sigs[open_day]
         ):
-            todo = [d for d in todo if d != open_day]
+            todo = []
     _record_skipped_committed(lin, day_counts, day_sigs, done, "incremental", entries=lin_entries)
     if not todo:
         return []
@@ -312,7 +334,7 @@ def backfill(
 
     lin = Lineage(ck_dir)
     lin_entries = lin.entries()
-    done = {e["partition"] for e in lin_entries if e.get("status") == "committed"}
+    done = committed_partitions(lin_entries)
     t = transcripts.withColumn("_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
     day_counts, day_sigs = _day_stats(t)
     days = sorted(day_counts)

@@ -81,12 +81,17 @@ def cmd_incremental(args: argparse.Namespace) -> None:
                 commit_open_day=args.commit_open_day,
             )
         )
+    # stable output shape regardless of --cycles: partitions_processed is
+    # ALWAYS the flat union of days touched this invocation (consumers
+    # iterate day strings); per-cycle detail lives in cycles_processed
+    flat = sorted({d for c in cycles for d in c})
     print(
         json.dumps(
             {
                 "mode": "backfill" if args.backfill else "incremental",
                 "cycles": len(cycles),
-                "partitions_processed": cycles[-1] if len(cycles) == 1 else cycles,
+                "partitions_processed": flat,
+                "cycles_processed": cycles,
             }
         )
     )

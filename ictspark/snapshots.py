@@ -46,8 +46,11 @@ class SnapshotLog:
         self.path = os.path.join(ck_dir, "_snapshots.jsonl")
         # incremental journal parse: entries() re-reads only bytes appended
         # since the last call (stat + seek), so appends stay O(1) amortized
-        # AND a long-lived consumer instance still sees commits made by OTHER
-        # writers (a whole-journal memo would go stale across instances)
+        # AND a long-lived READER instance still sees commits made by the
+        # writer (a whole-journal memo would go stale across instances).
+        # Concurrency contract (same as Lineage): ONE writer per checkpoint
+        # dir — the ingest driver — plus any number of readers; record()'s
+        # EOF resync assumes no other writer appends concurrently.
         self._cache: list[dict] = []
         self._offset = 0
 

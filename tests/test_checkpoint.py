@@ -270,3 +270,31 @@ def test_idle_poll_cycles_do_not_grow_journals(spark, smoke_sf_dir):
         )
         got = CK.run_incremental(spark, t.unionByName(extra), tool_dim, f"{d}/out", f"{d}/ck")
         assert got == [str(max_day)]
+
+
+def test_idle_skip_keeps_cross_day_dedupe(spark, smoke_sf_dir):
+    """Code-review r03: the idle open-day skip must NOT shrink the T4 dedupe
+    slice while another uncommitted day exists. A late never-seen day carrying
+    OLDER-ts duplicates of open-day keys must lose them to newest-wins — which
+    requires the (unchanged) open day to stay in the slice."""
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tool_dim, _ = io.load_dims(spark, smoke_sf_dir)
+    max_day = t.select(F.max(F.to_date("ts")).alias("d")).first()["d"]
+    open_rows = t.where(F.to_date("ts") == F.lit(max_day))
+    # duplicates of open-day keys, 30 days EARLIER → a brand-new uncommitted day
+    older_dupes = open_rows.withColumn("ts", F.col("ts") - F.expr("INTERVAL 30 DAYS"))
+    with tempfile.TemporaryDirectory() as d:
+        CK.run_incremental(spark, t, tool_dim, f"{d}/out", f"{d}/ck")
+        exp = CK.read_all_routed(spark, f"{d}/out").count()
+        # cycle 2: same input + the late old-day duplicates; the open day's
+        # own input is unchanged (its signature matches)
+        processed = CK.run_incremental(
+            spark, t.unionByName(older_dupes), tool_dim, f"{d}/out", f"{d}/ck"
+        )
+        assert max_day.strftime("%Y-%m-%d") in processed  # open day NOT skipped
+        got = CK.read_all_routed(spark, f"{d}/out").count()
+        assert got == exp  # every older duplicate lost to newest-wins
+        lin = CK.Lineage(f"{d}/ck")
+        new_day = (max_day - __import__("datetime").timedelta(days=30)).strftime("%Y-%m-%d")
+        by_day = {e["partition"]: e for e in lin.entries() if e.get("status") == "committed"}
+        assert by_day[new_day]["rows"] == 0  # the duplicate day committed empty

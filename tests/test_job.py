@@ -125,6 +125,8 @@ def test_job_incremental_poll_loop(spark, smoke_sf_dir, capsys):
         )
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["cycles"] == 2
-        c1, c2 = rep["partitions_processed"]
+        c1, c2 = rep["cycles_processed"]
         assert len(c1) > 1
         assert c2 == []  # idle poll: open day unchanged, nothing rewritten
+        # stable shape: partitions_processed is always a flat list of days
+        assert rep["partitions_processed"] == sorted(c1)
