@@ -112,6 +112,14 @@ def main() -> None:
         "broadcast, and the union is shuffle-free.",
     )
     add(
+        "AS-OF join (limit_regime_asof, r03)",
+        A.limit_regime_asof(sa),
+        "The union-and-carry-forward as-of composition: regime events (tiny, "
+        "catalog-bounded) union the query rows, then ONE window per step key "
+        "carries the last regime forward — a single Exchange on step, no range "
+        "join, no per-row subquery. DuckDB's native ASOF JOIN is the oracle.",
+    )
+    add(
         "Contamination scan (df-capped shingle equi-join, r03)",
         __import__("ictspark.extras.curation", fromlist=["contamination_check"]).contamination_check(docs),
         "Benchmark membership via hash join on the shingle key; the df-cap "
