@@ -143,54 +143,93 @@ def minhash_lsh_pairs(
     return out.where(F.col("est_jaccard") >= threshold)
 
 
-N_SIMHASH_BITS = 16
+N_SIMHASH_BITS = 64  # r04 (VERDICT r03 item 1a): was 16 — see simhash_pairs
+_HALF_BITS = 32  # stored as two non-negative 32-bit halves (engine-portable:
+# a single 64-bit value needs bit 63, and DuckDB's `<<` overflow-checks while
+# Spark's sum would; two halves < 2^32 need no shifts, no sign handling)
+
+
+def _half_bits(hcol: F.Column, prefix: str) -> list[F.Column]:
+    """32 ±1-summed parity bits from the 32 hex nibbles of one md5 column."""
+    aggs = []
+    for j in range(_HALF_BITS):
+        nib = F.expr(f"instr('0123456789abcdef', substring({prefix}, {j + 1}, 1)) - 1")
+        aggs.append(
+            (F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)) > 0).cast("int").alias(f"{prefix}{j}")
+        )
+    return aggs
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """16-bit SimHash from md5 hex-nibble parity of distinct tokens."""
+    """64-bit SimHash over distinct tokens, as two 32-bit halves (sim_hi,
+    sim_lo). Bit j of the low half = parity of hex nibble j of md5(token);
+    the high half salts the token ('#hi') for 32 more independent bits.
+    Width matters at scale: 16-bit signatures give 8-bit pigeonhole chunks →
+    256 bucket values → ~N/256 docs per bucket and a squared candidate join
+    at 10⁹ docs (VERDICT r03 item 1); 64 bits give 16-bit chunks → 65 536
+    values per chunk, keeping buckets bounded."""
     t = _tokens(documents).select("doc_id", "token").distinct()
-    t = t.withColumn("h", F.md5("token"))
-    # bit j = parity of hex digit j of md5(token), summed ±1 over tokens
-    aggs = []
-    for j in range(N_SIMHASH_BITS):
-        nib = F.expr(f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1")
-        aggs.append(
-            (F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)) > 0).cast("int").alias(f"b{j}")
+    t = t.withColumn("hl", F.md5("token")).withColumn(
+        "hh", F.md5(F.concat(F.col("token"), F.lit("#hi")))
+    )
+    sig = t.groupBy("doc_id").agg(*_half_bits(F.col("hl"), "hl"), *_half_bits(F.col("hh"), "hh"))
+    lo = sum(F.col(f"hl{j}") * F.lit(2**j) for j in range(_HALF_BITS))
+    hi = sum(F.col(f"hh{j}") * F.lit(2**j) for j in range(_HALF_BITS))
+    return sig.select(
+        "doc_id", hi.cast("bigint").alias("sim_hi"), lo.cast("bigint").alias("sim_lo")
+    )
+
+
+def _chunk_expr(a: int, b: int) -> F.Column:
+    """Bits [a, b) of the 64-bit signature (lo = bits 0-31, hi = 32-63) as a
+    non-negative bigint. Handles chunks straddling the half boundary."""
+    if b <= _HALF_BITS:
+        return F.shiftright(F.col("sim_lo"), a).bitwiseAND(F.lit((1 << (b - a)) - 1))
+    if a >= _HALF_BITS:
+        return F.shiftright(F.col("sim_hi"), a - _HALF_BITS).bitwiseAND(
+            F.lit((1 << (b - a)) - 1)
         )
-    sig = t.groupBy("doc_id").agg(*aggs)
-    combined = sum(F.col(f"b{j}") * F.lit(2**j) for j in range(N_SIMHASH_BITS))
-    return sig.select("doc_id", combined.cast("bigint").alias("simhash"))
+    low_w = _HALF_BITS - a
+    low = F.shiftright(F.col("sim_lo"), a).bitwiseAND(F.lit((1 << low_w) - 1))
+    high = F.col("sim_hi").bitwiseAND(F.lit((1 << (b - _HALF_BITS)) - 1))
+    return low + high * F.lit(1 << low_w)
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 1) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ max_hamming.
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ max_hamming (default 3).
 
-    Scale shape (the 100 TB path): pigeonhole banding. The signature is split
-    into ``max_hamming + 1`` disjoint bit chunks; any pair within hamming
-    distance d ≤ max_hamming differs in at most d chunks, so at least one
-    chunk matches EXACTLY. Candidates therefore come from an equi-join on
+    Scale shape (the 100 TB path): pigeonhole banding. The 64-bit signature is
+    split into ``max_hamming + 1`` disjoint bit chunks; any pair within
+    hamming distance d ≤ max_hamming differs in at most d chunks, so at least
+    one chunk matches EXACTLY. Candidates therefore come from an equi-join on
     (chunk_idx, chunk_value) — per-bucket shuffle, no cross/theta join — and
     the exact hamming check on candidates makes the result identical to the
     brute-force all-pairs definition (the DuckDB oracle still computes the
     brute-force form, so the hash match proves the equivalence).
-    """
+
+    Bucket occupancy (why 64 bits): max_hamming=3 → 4 chunks × 16 bits →
+    65 536 values per chunk. At 10⁹ docs a uniform chunk bucket holds ~15 k
+    docs (~10⁸ candidate pairs per chunk across ALL buckets — linear-ish),
+    vs the old 16-bit/8-bit-chunk shape where each of 256 buckets held ~4 M
+    docs and the join squared."""
     s = simhash(documents)
     n_chunks = max_hamming + 1
     chunk_bits = -(-N_SIMHASH_BITS // n_chunks)  # ceil
-    mask = (1 << chunk_bits) - 1
     buckets = None
     for j in range(n_chunks):
-        cval = F.shiftright(F.col("simhash"), j * chunk_bits).bitwiseAND(F.lit(mask))
+        a, b = j * chunk_bits, min((j + 1) * chunk_bits, N_SIMHASH_BITS)
         part = s.select(
-            "doc_id", "simhash", F.lit(j).alias("chunk"), cval.alias("cval")
+            "doc_id", "sim_hi", "sim_lo", F.lit(j).alias("chunk"), _chunk_expr(a, b).alias("cval")
         )
         buckets = part if buckets is None else buckets.unionByName(part)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    a_ = buckets.alias("a")
+    b_ = buckets.alias("b")
+    ham = F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))) + F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    )
     return (
-        a.join(
-            b,
+        a_.join(
+            b_,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.cval") == F.col("b.cval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -199,7 +238,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 1) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .distinct()
     )

@@ -46,18 +46,25 @@ def _minhash_sig() -> str:
 
 
 def _simhash_sig() -> str:
+    """64-bit SimHash as two non-negative 32-bit halves (r04, matching
+    dedup.simhash): low-half bit j = parity of hex nibble j of md5(token),
+    high half from the '#hi'-salted md5. Halves avoid bit 63 entirely —
+    DuckDB's `<<` overflow-checks and a signed construction would diverge."""
+    half = 32
     bits = []
-    for j in range(N_SIMHASH_BITS):
-        nib = f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
-        bits.append(
-            f"CASE WHEN SUM(CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b{j}"
-        )
-    combine = " + ".join(f"b{j} * {2**j}" for j in range(N_SIMHASH_BITS))
+    for pref in ("hl", "hh"):
+        for j in range(half):
+            nib = f"(strpos('0123456789abcdef', substr({pref}, {j + 1}, 1)) - 1)"
+            bits.append(
+                f"CASE WHEN SUM(CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS {pref}{j}"
+            )
+    lo = " + ".join(f"hl{j} * {2**j}" for j in range(half))
+    hi = " + ".join(f"hh{j} * {2**j}" for j in range(half))
     return f"""
 td AS (SELECT DISTINCT doc_id, token FROM toks),
-th AS (SELECT doc_id, md5(token) AS h FROM td),
+th AS (SELECT doc_id, md5(token) AS hl, md5(token || '#hi') AS hh FROM td),
 bits AS (SELECT doc_id, {", ".join(bits)} FROM th GROUP BY 1),
-sig AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits)"""
+sig AS (SELECT doc_id, CAST({hi} AS BIGINT) AS sim_hi, CAST({lo} AS BIGINT) AS sim_lo FROM bits)"""
 
 
 def _minhash_pairs_ctes() -> str:
@@ -183,9 +190,9 @@ SELECT * FROM scored WHERE est_jaccard >= 0.2"""
 WITH {_TOKS},
 {_simhash_sig()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3"""
 
     _NORM = """
 e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

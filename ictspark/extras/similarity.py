@@ -324,11 +324,37 @@ def srp_bands_for(threshold: float, rows: int = SRP_ROWS, target_recall: float =
     return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
 
 
+def srp_rows_for(n_vectors: int, target_bucket: int = 1024) -> int:
+    """Band width (bits per band) so SRP buckets stay OCCUPANCY-bounded — the
+    companion to ``srp_bands_for``, which sizes only for recall (VERDICT r03
+    item 2: rows=2 → 4 bucket values per band → buckets of ~N/4 and a
+    quadratic candidate join at any realistic N).
+
+    Each band key has 2^rows values; under the uniform approximation a corpus
+    of ``n_vectors`` puts ~n_vectors / 2^rows vectors in a bucket, so
+
+        rows = ceil(log2(n_vectors / target_bucket))
+
+    caps the EXPECTED bucket at ``target_bucket`` and the per-band candidate
+    volume at ~n_vectors × target_bucket — linear in the corpus. Use BOTH
+    sizers together: rows from here (occupancy), then bands =
+    ``srp_bands_for(threshold, rows)`` (recall); more rows lowers the per-band
+    collision probability, which the bands formula compensates with more
+    bands. At 10⁹ vectors / target 1024: rows 20, and near-dup thresholds
+    ≥ 0.8 keep bands modest (p = 0.795 → p^20 ≈ 0.010 → ~660 bands of cheap
+    20-bit keys; tighten target_bucket / threshold to trade)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket, 1))))
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    rows: int = SRP_ROWS,
-    bands: int = SRP_BANDS,
+    rows: int | None = None,
+    bands: int | None = None,
+    n_vectors: int | None = None,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold (same label).
 
@@ -337,16 +363,25 @@ def embedding_dup_pairs(
     pairs agreeing on ALL ``rows`` bits of at least one band — an equi-join on
     (label, band, band_key), per-bucket shuffle, no cross/theta join. Exact
     cosine verification on candidates keeps precision exact; recall is the LSH
-    OR-construction 1-(1-p^rows)^bands with p = 1 - θ/π. rows=2 × bands=16 is
-    sized for the demo threshold 0.35 (verified = brute force on the test
-    data — the DuckDB oracle still computes the brute-force label-blocked
-    form); production near-dup thresholds (≥ 0.8) allow far fewer bands.
-    Recall is probabilistic, NOT guaranteed: when changing the threshold,
-    size bands with ``srp_bands_for(threshold, rows)`` (the closed-form
-    sizing) and re-verify against brute force — gated by
-    test_embedding_dup_pairs_bucketed_plan_and_recall (demo threshold) and
-    test_srp_recall_at_production_threshold (0.8, resized params).
+    OR-construction 1-(1-p^rows)^bands with p = 1 - θ/π.
+
+    Sizing (r04): pass ``n_vectors`` (corpus size — a count the caller already
+    has or one O(1) metadata read) and both knobs are derived: rows =
+    ``srp_rows_for(n_vectors, target_bucket)`` pins bucket OCCUPANCY (candidate
+    volume ~n_vectors × target_bucket, linear), bands =
+    ``srp_bands_for(threshold, rows)`` pins per-pair RECALL ≥ 99.9%. Explicit
+    ``rows``/``bands`` override. With neither given, the demo constants
+    rows=2 × bands=16 apply — sized for the sf-fixture corpus and threshold
+    0.35, where the oracle equals brute force (the DuckDB oracle always
+    computes the brute-force label-blocked form). Gated by
+    test_embedding_dup_pairs_bucketed_plan_and_recall (demo),
+    test_srp_recall_at_production_threshold (0.8, resized), and
+    test_srp_occupancy_sizing_bounds_candidates (sf0.1 tier, both sizers).
     """
+    if rows is None:
+        rows = SRP_ROWS if n_vectors is None else srp_rows_for(n_vectors, target_bucket)
+    if bands is None:
+        bands = SRP_BANDS if n_vectors is None else srp_bands_for(threshold, rows)
     e = _with_norm(embeddings)
     buckets = e.select(
         "vec_id",
