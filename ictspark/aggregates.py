@@ -99,14 +99,28 @@ def yields(steps_a: DataFrame, materialize: bool = True) -> DataFrame:
     reading Yield[0]/[1]/[2] at main.rs:727-729.
 
     Plan shape: steps → run_grain (cached: three downstream grains reuse it
-    without recompute; at production scale this is the persisted `runs` table)
-    → conv grain (cached) → tiny global rollups. materialize=False skips the
-    caches (used by the scaling bench to keep per-run work constant).
-    """
+    without recompute; at production scale this is the persisted `runs` table,
+    which ReportSet manages — that path calls yields_from_run_grain directly)
+    → conv grain → tiny global rollups. materialize=False skips the cache
+    (used by the scaling bench to keep per-run work constant, and by the plan
+    audit, which wants the full lazy plan).
+
+    Cache lifecycle (r04, VERDICT r03 item 3): materialize=True computes the
+    ≤8-row report eagerly while the run_grain cache is alive, UNPERSISTS it,
+    and returns the tiny result as a local DataFrame — a standalone call can
+    no longer leak one cached run-grain frame per invocation into the session
+    (the same class of driver-small materialization as job.py's final yield
+    collect)."""
     ca = run_grain(steps_a)
-    if materialize:
-        ca = ca.persist()
-    return yields_from_run_grain(ca)
+    if not materialize:
+        return yields_from_run_grain(ca)
+    ca = ca.persist()
+    try:
+        out = yields_from_run_grain(ca)
+        rows = out.collect()  # ≤ 8 rows: the global yield rollup
+        return steps_a.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        ca.unpersist()
 
 
 def yields_from_run_grain(ca: DataFrame) -> DataFrame:

@@ -128,8 +128,18 @@ def dedup_keep_list(documents: DataFrame) -> DataFrame:
     # release the labels cache dedup_components left persisted — otherwise
     # every invocation leaks one docs-sized cached frame for the session
     # lifetime (code-review r03); the checkpoint blocks are reclaimed by the
-    # ContextCleaner once the returned frame is unreferenced
-    out = out.localCheckpoint(eager=True)
+    # ContextCleaner once the returned frame is unreferenced.
+    # Checkpoint reliability (ADVICE r03): localCheckpoint blocks live on
+    # executors, so on a real cluster an executor loss would make the frame
+    # unrecoverable mid-query — when the session has a RELIABLE checkpoint
+    # dir configured (sc.setCheckpointDir on HDFS/object storage, the normal
+    # cluster setup), use a reliable checkpoint instead; localCheckpoint
+    # stays the local/test path only.
+    sc = documents.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
     labels.unpersist()
     return out
 
@@ -141,11 +151,33 @@ def corpus_mix(documents: DataFrame) -> DataFrame:
     first min_count. Per doc: lang, keep flag, and the lang's sampling stats.
     Rank-based rather than threshold-based so the kept count is EXACT, and
     portable because fixed-width lowercase hex compares identically in any
-    engine."""
+    engine.
+
+    Scale shape (r04, VERDICT r03 item 3): the global per-lang rank is
+    computed as a TWO-PHASE distributed rank, not one
+    ``Window.partitionBy(lang)`` (which funnels an entire language — at
+    100 TB, ~10¹¹ 'en' docs — through one task). The ranking key is
+    md5(doc_id), so its first two hex chars are a 256-way range partition
+    whose bucket order IS the key order: rank within (lang, bucket) + the
+    cumulative count of earlier buckets (a 256×n_langs offsets table,
+    broadcast) reproduces the global rank EXACTLY — the oracle is unchanged
+    and stays hash-identical."""
     counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     min_n = counts.agg(F.min("n_docs").alias("min_docs"))
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    ranked = documents.select("doc_id", "lang").withColumn("rnk", F.row_number().over(w))
+    key = F.md5(F.col("doc_id").cast("string"))
+    d = documents.select("doc_id", "lang", key.alias("mkey"), F.substring(key, 1, 2).alias("bkt"))
+    # offsets: rows before each bucket in the same lang — tiny (≤256 per lang)
+    bcounts = d.groupBy("lang", "bkt").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = (
+        Window.partitionBy("lang").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.withColumn("off", F.coalesce(F.sum("bn").over(w_off), F.lit(0)))
+    w_b = Window.partitionBy("lang", "bkt").orderBy("mkey", "doc_id")
+    ranked = (
+        d.withColumn("brnk", F.row_number().over(w_b))
+        .join(F.broadcast(offsets.select("lang", "bkt", "off")), ["lang", "bkt"])
+        .withColumn("rnk", F.col("brnk") + F.col("off"))
+    )
     return (
         ranked.join(F.broadcast(counts), "lang")
         .crossJoin(F.broadcast(min_n))
@@ -227,24 +259,32 @@ def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
 def length_percentiles(documents: DataFrame) -> DataFrame:
     """Exact p50/p90/p99 of document length per language: value at rank
     ceil(q * n) under (length, doc_id) ordering — deterministic and portable,
-    unlike engine-specific approx-percentile sketches."""
-    # NULL-safe length: Spark windows order NULLs first, DuckDB last — a NULL
-    # text would shift every rank differently per engine
-    d = documents.select(
-        "lang", F.length(F.coalesce("text", F.lit(""))).alias("n_chars"), "doc_id"
-    )
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = d.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    unlike engine-specific approx-percentile sketches.
+
+    Scale shape (r04, VERDICT r03 item 3): the value at rank k depends only on
+    per-VALUE counts, so the per-doc rank window (whole language through one
+    task) is replaced by a distributed groupBy(lang, n_chars) — map-side
+    combinable, docs-sized shuffle — followed by a cumulative sum over the
+    DISTINCT-VALUE table (bounded by max document length, ~10⁶ rows per lang
+    at worst, the same vocabulary-bounded window class as top_terms_per_lang).
+    value_at(k) = min value whose cumulative count ≥ k — identical to the
+    rank-window definition, so the oracle is unchanged and stays
+    hash-identical."""
+    # NULL-safe length: a NULL text must count as length 0 in both engines
+    d = documents.select("lang", F.length(F.coalesce("text", F.lit(""))).alias("n_chars"))
+    vc = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    cum = vc.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("lang"))
     )
     qs = {"p50": 0.50, "p90": 0.90, "p99": 0.99}
     aggs = [
-        F.max(
-            F.when(F.col("rnk") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars"))
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("n_chars"))
         ).alias(name)
         for name, q in qs.items()
     ]
-    return ranked.groupBy("lang").agg(F.max("n").alias("n_docs"), *aggs)
+    return cum.groupBy("lang").agg(F.max("n").alias("n_docs"), *aggs)
 
 
 def scrub_stats(documents: DataFrame) -> DataFrame:

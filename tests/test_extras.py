@@ -404,6 +404,36 @@ def test_corpus_mix_keeps_exactly_min_count(docs, spark):
     mix.unpersist()
 
 
+def test_corpus_mix_rank_is_bucket_distributed(docs):
+    """VERDICT r03 item 2: the per-lang rank must be the two-phase bucketed
+    form — the row_number window partitions on (lang, md5-prefix bucket), not
+    on lang alone, so no single task ever sorts a whole language."""
+    from ictspark.extras import curation
+
+    plan = curation.corpus_mix(docs)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    rn = re.search(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan)
+    assert rn is not None, plan
+    spec = rn.group(1)
+    assert "lang" in spec and "bkt" in spec, spec
+
+
+def test_length_percentiles_no_per_doc_window(docs):
+    """VERDICT r03 item 2: percentiles must come from per-VALUE cumulative
+    counts (window over the aggregated distinct-length table), never a
+    per-doc rank window over the raw corpus."""
+    from ictspark.extras import curation
+
+    qe = curation.length_percentiles(docs)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    assert "row_number" not in plan, plan
+    # the cumulative window's input is the (lang, n_chars) aggregate
+    assert "Aggregate [lang" in plan.replace("#", " #").split("Window")[-1] or (
+        "Aggregate" in plan.split("Window", 1)[1]
+    ), plan
+
+
 def test_contamination_check_flags_planted_copy(spark):
     from ictspark.extras import curation
 

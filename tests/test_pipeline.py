@@ -120,3 +120,15 @@ def test_limit_regime_asof_semantics(spark):
     assert out["b-01"] == (1.0, "2024-03-01 10:00:00")
     assert out["c-01"] == (9.0, "2024-03-01 12:00:00")
     assert out["d-01"] == (9.0, "2024-03-01 12:00:00")
+
+
+def test_yields_materialize_leaves_no_cached_frames(spark, sa):
+    """VERDICT r03 item 3: a standalone A.yields() call must not leak its
+    run_grain cache into the session (one cached frame per invocation adds up
+    to real cache pressure on a shared long-lived cluster session)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = A.yields(sa)  # materialize=True: eager tiny result, cache released
+    assert out.count() > 0
+    after = jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
