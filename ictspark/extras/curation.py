@@ -195,13 +195,18 @@ def contamination_check(documents: DataFrame, benchmark_max_id: int = 25) -> Dat
     """Benchmark-contamination scan: does a training doc share word-3-gram
     shingles with the held-out benchmark set (here: doc_id < benchmark_max_id,
     standing in for an external eval corpus)? Per non-benchmark doc: the
-    count of distinct shared shingles and the contaminated flag. Candidate
-    generation is the df-capped shingle equi-join — the same bounded-bucket
-    shape as the dedup family, so a boilerplate shingle can't square the
-    check at 100 TB."""
+    count of distinct shared shingles and the contaminated flag.
+
+    NO df-cap here (r04, ADVICE r03): the dedup family's MAX_SHINGLE_DF cap
+    exists because a hot shingle squares a SELF-join bucket — but this join's
+    build side is the DISTINCT benchmark shingle set, so each train-side row
+    matches at most once and the join is LINEAR in train shingles no matter
+    how widespread a shingle is. Capping here was not just unnecessary, it
+    was a correctness hole: benchmark text leaked into >cap training docs —
+    the most widespread contamination — became systematically invisible."""
     from ictspark.extras.dedup import shingles
 
-    sh = shingles(documents)
+    sh = shingles(documents, max_df=None)
     bench = sh.where(F.col("doc_id") < benchmark_max_id).select("shingle").distinct()
     train = sh.where(F.col("doc_id") >= benchmark_max_id)
     hits = train.join(bench, "shingle").groupBy("doc_id").agg(

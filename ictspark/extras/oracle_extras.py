@@ -142,6 +142,24 @@ FROM (
 )
 GROUP BY 1"""
 
+    q["winnow_fingerprint"] = """
+WITH g AS (
+  SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 8)) AS h
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
+    FROM documents
+  )
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+  FROM g
+)
+SELECT doc_id, COUNT(*) AS n_fps,
+       md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
+FROM sel GROUP BY 1"""
+
     langs = sorted(LANG_PROFILES)
 
     def _count_sum(lang: str) -> str:
@@ -416,10 +434,13 @@ SELECT doc_id, r.lang, c.n_docs, (SELECT min_docs FROM mn) AS min_docs,
        rnk <= (SELECT min_docs FROM mn) AS keep
 FROM ranked r JOIN counts c ON r.lang = c.lang"""
 
+    # sh_all (uncapped), not sh: the bench side is DISTINCT so the join is
+    # linear regardless of shingle df — and mass contamination (a benchmark
+    # shingle in >cap training docs) must stay visible (ADVICE r03)
     q["contamination_check"] = f"""
 WITH {_SHINGLES},
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
-train AS (SELECT * FROM sh WHERE doc_id >= 25),
+bench AS (SELECT DISTINCT shingle FROM sh_all WHERE doc_id < 25),
+train AS (SELECT * FROM sh_all WHERE doc_id >= 25),
 hits AS (SELECT doc_id, COUNT(*) AS n FROM train JOIN bench USING (shingle) GROUP BY 1)
 SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_shingles,
        COALESCE(h.n, 0) > 0 AS contaminated

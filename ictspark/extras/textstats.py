@@ -7,7 +7,7 @@ fully oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
@@ -120,8 +120,10 @@ def lang_id(documents: DataFrame) -> DataFrame:
 
 
 def rolling_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
-    """Rolling-hash document fingerprint (winnowing-style): minimum md5 over
-    all k-char shingles — robust to local edits, unlike the whole-text md5.
+    """Rolling-hash document fingerprint: minimum md5 over ALL k-char
+    shingles — robust to local edits, unlike the whole-text md5. Kept for
+    compatibility; ``winnow_fingerprint`` below is the production form
+    (per-window minima → a fingerprint SET, not one global min).
     Engine-portable: both Spark and DuckDB compute min(md5(substr(text,i,k)))."""
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
     return (
@@ -129,4 +131,30 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
         .select("doc_id", F.md5(F.expr(f"substring(text, p, {k})")).alias("h"))
         .groupBy("doc_id")
         .agg(F.min("h").alias("rfp"))
+    )
+
+
+def winnow_fingerprint(documents: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the standard content-defined fingerprinting scheme; VERDICT r03 item 7):
+    hash every k-char shingle, slide a w-hash window over the sequence, and
+    SELECT each window's minimum hash. The fingerprint set (distinct selected
+    hashes, expected density 2/(w+1)) localizes shared substrings — any match
+    of length ≥ w+k-1 shares a fingerprint — at ~w/2× fewer stored hashes
+    than the all-shingles set.
+
+    Output per doc: fingerprint count + an order-insensitive digest (md5 of
+    the sorted comma-joined set), compact and engine-portable. Plan: one
+    generate (positions) inside codegen, ONE window shuffle on doc_id for the
+    sliding min, then a map-side-combinable agg — rows are linear in corpus
+    chars and fingerprints stored are ~2/(w+1) of that."""
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
+    h = documents.select("doc_id", "text", pos.alias("p")).select(
+        "doc_id", "p", F.md5(F.expr(f"substring(text, p, {k})")).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    sel = h.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("fp")))).alias("fp_digest"),
     )

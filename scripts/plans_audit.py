@@ -87,21 +87,26 @@ def main() -> None:
     )
     docs = io.load_table(spark, "/root/testdata/sf0.01", "documents")
     add(
-        "SimHash near-dup pairs (bucketed, r02)",
+        "SimHash near-dup pairs (bucketed; 64-bit r04)",
         dedup.simhash_pairs(docs),
         "Pigeonhole-banded candidate generation: equi-join on (chunk_idx, chunk_value) "
         "with the exact hamming verify in the join condition — NO CartesianProduct / "
         "BroadcastNestedLoopJoin anywhere (asserted in tests). Output equals the "
-        "brute-force definition by the pigeonhole principle.",
+        "brute-force definition by the pigeonhole principle. 64-bit signatures (two "
+        "32-bit halves) give 4 chunks × 16 bits = 65 536 values per chunk, so buckets "
+        "stay bounded at 10⁹ docs (the old 16-bit/8-bit-chunk shape squared).",
     )
     emb = io.load_table(spark, "/root/testdata/sf0.01", "embeddings")
     add(
-        "Embedding near-dup pairs (SRP-LSH, r02)",
+        "Embedding near-dup pairs (SRP-LSH; occupancy-sized r04)",
         similarity.embedding_dup_pairs(emb),
-        "32 signed-random-projection bits → 16 bands × 2 bits; candidates from an "
-        "equi-join on (label, band, band_key), exact cosine verify after re-joining the "
-        "vectors by id. Every join is a hash join on an equality key; at production "
-        "scale AQE swaps broadcast for shuffled hash joins on the same keys.",
+        "Signed-random-projection band keys; candidates from an equi-join on "
+        "(label, band, band_key), exact cosine verify after re-joining the vectors by "
+        "id. Every join is a hash join on an equality key; at production scale AQE "
+        "swaps broadcast for shuffled hash joins on the same keys. Band width comes "
+        "from srp_rows_for(n_vectors, target_bucket) (occupancy) and band count from "
+        "srp_bands_for(threshold, rows) (recall) — the demo plan shown uses the "
+        "fixture constants 16 bands × 2 bits.",
     )
     add(
         "Workbook composite (write_product single-pass, r03)",
@@ -120,11 +125,12 @@ def main() -> None:
         "join, no per-row subquery. DuckDB's native ASOF JOIN is the oracle.",
     )
     add(
-        "Contamination scan (df-capped shingle equi-join, r03)",
+        "Contamination scan (shingle equi-join vs distinct bench set, r04)",
         __import__("ictspark.extras.curation", fromlist=["contamination_check"]).contamination_check(docs),
-        "Benchmark membership via hash join on the shingle key; the df-cap "
-        "(count-over-window on the same key) rides the join's own Exchange, so a "
-        "boilerplate shingle is dropped before it can square a bucket.",
+        "Benchmark membership via hash join on the shingle key against the DISTINCT "
+        "benchmark shingle set — each train-side row matches at most once, so the join "
+        "is linear in train shingles with no df-cap needed (and mass contamination, a "
+        "benchmark shingle in arbitrarily many training docs, stays visible).",
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -36,10 +36,35 @@ SCALE_CRITICAL = {
 }
 
 
+# The EXACT r04 window (ADVICE r03: pin the full 50-entry list, not just a
+# subset, so any insertion/reorder that silently changes what the driver
+# grades is loud). Rotation is deliberate and happens HERE, per round.
+R04_WINDOW = [
+    "parse_steps", "yield_report", "failure_counts", "failure_detail",
+    "failures_by_index", "hourly_stats", "mb_results", "mb_positions",
+    "step_series", "step_histogram", "step_cpk_trend", "limit_changes",
+    "failed_boards", "failed_boards_display", "product_hourly",
+    "product_daily_failures", "product_failed_boards", "product_workbook",
+    "retest_counts", "first_fail", "route_counts", "limit_regime_asof",
+    "error_bursts", "tool_latency", "rolling_fingerprint", "winnow_fingerprint",
+    "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
+    "dedup_components", "dedup_keep_list", "corpus_mix", "contamination_check",
+    "stratified_sample", "top_terms_per_lang", "length_percentiles",
+    "scrub_stats", "ann_bruteforce", "ann_bucketed", "ann_multiprobe",
+    "ann_ivf", "ann_quantized_rerank", "embedding_dup_pairs",
+    "embedding_quantize", "embedding_norm_stats", "media_stats",
+    "frame_sample_plan", "media_featurize", "media_dedup",
+]
+
+
 def test_scale_critical_queries_inside_driver_window():
     window = list(E.queries())[:50]
     missing = SCALE_CRITICAL - set(window)
     assert not missing, f"scale-critical queries outside the 50-entry window: {missing}"
+
+
+def test_exact_driver_window_pinned():
+    assert list(E.queries())[:50] == R04_WINDOW
 
 
 def test_every_query_has_an_oracle():

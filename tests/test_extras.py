@@ -447,6 +447,66 @@ def test_contamination_check_flags_planted_copy(spark):
     assert set(out) == {100, 101}  # benchmark docs themselves not scored
 
 
+def test_contamination_check_sees_mass_contamination(spark):
+    """ADVICE r03: benchmark text leaked into MORE docs than the dedup df-cap
+    (the most widespread contamination) must still be flagged — the bench side
+    is distinct, the join is linear, so no cap applies here."""
+    from ictspark.extras import curation
+
+    rows = [(0, "secret benchmark passage alpha beta gamma")]
+    rows += [(i, f"unrelated doc {i} about topic t{i} u{i} v{i}") for i in range(1, 25)]
+    # the benchmark trigrams leak into 150 > MAX_SHINGLE_DF training docs
+    rows += [(1000 + i, f"copied secret benchmark passage alpha beta gamma tail{i}") for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = curation.contamination_check(docs)
+    flagged = out.where("contaminated").count()
+    assert flagged == 150
+
+
+def test_winnow_fingerprint_properties(spark):
+    """Winnowing invariants: (a) the set is far smaller than the all-shingles
+    set (expected density 2/(w+1)); (b) the whole-text rolling min is always
+    selected; (c) docs sharing a long substring share a fingerprint, while a
+    digest-equal pair must be textually identical."""
+    from ictspark.extras import textstats
+
+    shared = "this long shared passage survives winnowing intact and then some"
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix one " + shared + " suffix one more words here"),
+            (1, "different start " + shared + " other ending entirely"),
+            (2, "completely unrelated text about orchard irrigation schedules"),
+        ],
+        "doc_id int, text string",
+    )
+    wf = {r["doc_id"]: r for r in textstats.winnow_fingerprint(docs).collect()}
+    n_shingles = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", (F.greatest(F.length("text") - 7, F.lit(1))).alias("n")
+        ).collect()
+    }
+    for d, r in wf.items():
+        assert r["n_fps"] < n_shingles[d] / 3  # much denser reduction than /3 typically
+        assert r["n_fps"] >= 1
+    assert wf[0]["fp_digest"] != wf[1]["fp_digest"] != wf[2]["fp_digest"]
+    # the shared substring yields at least one common selected fingerprint:
+    # recompute the selected sets explicitly via the same definition
+    from pyspark.sql import Window as W
+
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))))
+    h = docs.select("doc_id", "text", pos.alias("p")).select(
+        "doc_id", "p", F.md5(F.expr("substring(text, p, 8)")).alias("h")
+    )
+    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 15)
+    sel = h.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    sets = {
+        d: {r["fp"] for r in sel.where(F.col("doc_id") == d).collect()} for d in (0, 1, 2)
+    }
+    assert sets[0] & sets[1], "long shared substring must share a fingerprint"
+    assert not (sets[0] & sets[2])
+
+
 def test_dedup_keep_list_one_keeper_per_component(docs):
     from ictspark.extras import curation
 
