@@ -113,35 +113,46 @@ def _routed_day_path(out_dir: str, day: str) -> str:
     return os.path.join(out_dir, f"day={day}")
 
 
-def _day_stats(t: DataFrame) -> tuple[dict[str, int], dict[str, int]]:
+def _day_stats(t: DataFrame) -> tuple[dict[str, int], dict[str, str]]:
     """One aggregation over the input: per-day row counts AND a content
-    signature (sum of crc32 over (conv_id, turn_idx, ts)) — order-independent,
-    deterministic, and any row added/removed/re-timestamped changes it with
-    overwhelming probability. The signature is what lets an idle poll cycle
-    prove 'the open day is byte-identical to what I already wrote' without
-    re-running parse+enrich (code-review r03: a 30 s poll loop otherwise
-    rewrites the open day and appends journal rows forever on idle input)."""
+    signature — order-independent, deterministic, and any row added/removed/
+    re-timestamped changes it with overwhelming probability. The signature is
+    what lets an idle poll cycle prove 'the open day is byte-identical to
+    what I already wrote' without re-running parse+enrich (code-review r03:
+    a 30 s poll loop otherwise rewrites the open day and appends journal rows
+    forever on idle input).
+
+    Signature construction (r04, ADVICE r03): per-row xxhash64 (64-bit,
+    non-linear — CRC32 is linear, so two offsetting row edits could cancel in
+    a 32-bit sum), combined as BOTH a mod-2^31 sum (multiset-safe: duplicate
+    rows don't cancel; no ANSI bigint overflow below 2^32 rows) and a bit_xor
+    (a second, independent algebra over the full 64 bits). A silent idle-skip
+    collision now needs a simultaneous 31-bit-sum AND 64-bit-xor collision.
+    Stored as 'sum:xor'; old-format (crc32 int) journal entries simply
+    compare unequal, forcing one conservative rewrite on upgrade."""
     # the signature covers EVERY column the pipeline consumes — text included
     # (parse reads it; a re-push with changed text but unchanged keys/ts must
     # invalidate the skip) — with a NUL sentinel for nullable fields so a null
     # can never alias a shifted value under concat_ws's null-skipping
     nul = F.lit("\u0000")
-    sig = F.sum(
-        F.crc32(
-            F.concat_ws(
-                "|",
-                "conv_id",
-                F.col("turn_idx").cast("string"),
-                F.col("ts").cast("string"),
-                F.coalesce("role", nul),
-                F.coalesce("tool", nul),
-                F.coalesce("text", nul),
-            )
+    h = F.xxhash64(
+        F.concat_ws(
+            "|",
+            "conv_id",
+            F.col("turn_idx").cast("string"),
+            F.col("ts").cast("string"),
+            F.coalesce("role", nul),
+            F.coalesce("tool", nul),
+            F.coalesce("text", nul),
         )
-    ).alias("sig")
-    rows = t.groupBy("_day").agg(F.count(F.lit(1)).alias("n"), sig).collect()
+    )
+    rows = t.groupBy("_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(h, F.lit(2**31))).alias("s"),
+        F.bit_xor(h).alias("x"),
+    ).collect()
     counts = {r["_day"]: r["n"] for r in rows if r["_day"] is not None}
-    sigs = {r["_day"]: int(r["sig"]) for r in rows if r["_day"] is not None}
+    sigs = {r["_day"]: f"{r['s']}:{r['x']}" for r in rows if r["_day"] is not None}
     return counts, sigs
 
 
@@ -167,7 +178,7 @@ def _record_skipped_committed(
     loop re-LISTS the whole input every cycle, so every committed day
     reappears identically — recording that each cycle would grow the journal
     without bound while signaling nothing. An event is appended only when the
-    day's incoming (count, crc32 signature) differs from the last recorded
+    day's incoming (count, xxhash64 sum:xor signature) differs from the last recorded
     one, so even a same-count re-push of DIFFERENT history is surfaced.
     ``entries`` lets callers pass the journal they already parsed."""
     entries = lin.entries() if entries is None else entries
@@ -225,7 +236,7 @@ def run_incremental(
     open_day = days[-1] if days and not commit_open_day else None
     todo = [d for d in days if d not in done]
     # idle-poll fast path: if the still-open day's input is content-identical
-    # to what the last cycle already wrote (same count + same crc32 signature,
+    # to what the last cycle already wrote (same count + same sum:xor signature,
     # recorded in its 'open' lineage event), skip its rewrite AND its journal
     # appends — a 30 s AutoUpdate loop on idle input otherwise reprocesses the
     # day and grows both journals forever. Any new/changed/re-timestamped row

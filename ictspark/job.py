@@ -99,16 +99,33 @@ def cmd_incremental(args: argparse.Namespace) -> None:
 
 def cmd_changes(args: argparse.Namespace) -> None:
     """Consumer side of the snapshot log: report (and optionally export) what
-    the commits after --after added, Iceberg-incremental-scan style."""
+    the commits after --after added, Iceberg-incremental-scan style.
+
+    Consumer-side race (ADVICE r03): changes_since existence-checks the
+    appended files, then Spark reads them LAZILY — an open-day rewrite by the
+    (single-writer) poll loop between the check and the action deletes those
+    files and fails the read. Handled here by retrying changes_since once on
+    a read failure: the rewrite that deleted the files has by then recorded
+    its REPLACE snapshot, so the affected partitions degrade to the
+    replaced/full-re-read path — the same semantics Iceberg's
+    refuse-overwrite-ranges rule gives a concurrent reader."""
     from ictspark import snapshots as SN
 
     spark = _spark()
     routed = os.path.join(args.out, "routed")
     log = SN.SnapshotLog(args.checkpoint)
-    appended, replaced = SN.changes_since(spark, routed, log, args.after)
-    n_appended = appended.count() if appended is not None else 0
-    if args.export and appended is not None:
-        appended.write.mode("overwrite").parquet(os.path.join(args.export, "appended"))
+    for attempt in (0, 1):
+        appended, replaced = SN.changes_since(spark, routed, log, args.after)
+        try:
+            n_appended = appended.count() if appended is not None else 0
+            if args.export and appended is not None:
+                appended.write.mode("overwrite").parquet(os.path.join(args.export, "appended"))
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            # files vanished mid-read: re-parse the journal (now holding the
+            # replace snapshot) and degrade those partitions to full re-read
     out = {
         "mode": "changes",
         "after_snapshot_id": args.after,

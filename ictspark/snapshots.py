@@ -153,7 +153,16 @@ def changes_since(
     disk, so (exactly like Iceberg, which refuses incremental scans across
     overwrite snapshots) the consumer must re-read those partitions in full
     — ``read_replaced_partitions`` below. A day that was appended AND later
-    replaced within the range appears only in replaced_days."""
+    replaced within the range appears only in replaced_days.
+
+    Consumer race caveat (ADVICE r03): the existence check below and the
+    consumer's Spark action are not atomic — a writer's open-day rewrite in
+    between deletes the checked files and fails the lazy read. The
+    single-writer contract makes the window the poll interval, not zero:
+    consumers running BESIDE a live poll loop must catch the read failure and
+    re-call changes_since (the rewrite has then journaled its REPLACE, so the
+    partition degrades to the full-re-read path) — job.cmd_changes does
+    exactly this."""
     snaps = [e for e in log.entries() if e["snapshot_id"] > after_snapshot_id]
     replaced = {e["partition"] for e in snaps if e["operation"] == "replace"}
     added: list[str] = []

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -188,14 +189,73 @@ def dedupe_stream(transcripts: DataFrame, watermark: str = "10 minutes") -> Data
     arrival per key, while the batch ``io.dedupe_transcripts`` keeps the
     NEWEST-``ts`` copy. The two agree only when duplicate payloads are
     byte-identical (a re-push of the same rows — the reference's actual
-    duplicate source, a rescan of the 5 s overlap). A source that re-pushes a
-    key with UPDATED content/ts must go through the batch/incremental path
-    (checkpoint.run_incremental), whose newest-wins window is authoritative;
-    there is no bounded-state streaming operator that retroactively replaces
-    an already-emitted older row (test_streaming pins this contract)."""
+    duplicate source, a rescan of the 5 s overlap). For a source that
+    re-pushes keys with UPDATED content/ts, use ``dedupe_stream_newest``
+    below (stateful champion tracking into an upserting sink), or the
+    batch/incremental path (checkpoint.run_incremental), whose newest-wins
+    window is authoritative. test_streaming pins both contracts."""
     t = transcripts.withColumn("ts", F.col("ts").cast(TimestampType()))
     return t.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
+    )
+
+
+def dedupe_stream_newest(transcripts: DataFrame) -> DataFrame:
+    """Streaming NEWEST-wins dedupe on (conv_id, turn_idx) — closes the
+    documented dedupe_stream divergence (VERDICT r03 item 6): a stateful
+    operator (applyInPandasWithState, same pattern as first_fail_stream)
+    keeps the max-``ts`` champion per key and re-emits the key whenever a
+    NEWER copy arrives, so the sink's latest row per key equals the batch
+    ``io.dedupe_transcripts`` result regardless of delivery order.
+
+    Contract: update-mode output — the sink must UPSERT by (conv_id,
+    turn_idx) (foreachBatch MERGE on a real deployment; the champion's ts is
+    monotone per key, so max-ts-per-key over an append sink is the same
+    reduction, which is what the parity test uses). Equal-``ts`` re-arrivals
+    keep the incumbent — matching the batch window's desc-ts ordering, where
+    equal-ts duplicates are required to be byte-identical re-pushes. State is
+    one narrow row per key with no timeout; on a real deployment bound it
+    with the source's retention window (the reference's 5 s overlap analog)."""
+    t = transcripts.withColumn("ts", F.col("ts").cast(TimestampType()))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = state.get if state.exists else None  # (role, text, tool, ts_us)
+        improved = False
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                ts_us = int(pd.Timestamp(row.ts).value // 1000) if row.ts is not None else -1
+                if best is None or ts_us > best[3]:
+                    best = (row.role, row.text, row.tool, ts_us)
+                    improved = True
+        if improved:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "turn_idx": [key[1]],
+                    "role": [best[0]],
+                    "text": [best[1]],
+                    "tool": [best[2]],
+                    "ts": [pd.Timestamp(best[3], unit="us") if best[3] >= 0 else None],
+                }
+            )
+
+    state_schema = StructType(
+        [
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    return t.groupBy("conv_id", "turn_idx").applyInPandasWithState(
+        update,
+        outputStructType=TRANSCRIPTS,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

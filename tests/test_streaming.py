@@ -113,6 +113,54 @@ def test_dedupe_stream_drops_duplicates(spark, stream_src, smoke_sf_dir):
         assert len(set(keys)) == exp
 
 
+def test_dedupe_stream_newest_wins_on_updated_payloads(spark, tmp_path):
+    """VERDICT r03 item 6: duplicate keys whose payloads DIFFER (a re-push
+    with updated content and newer ts), delivered in shuffled order across
+    micro-batches, must resolve to exactly the batch newest-wins result
+    (io.dedupe_transcripts) after the sink's per-key upsert reduction."""
+    import datetime as dt
+
+    from ictspark.schema import TRANSCRIPTS
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append((f"c{i}", 0, "user", f"payload v1 {i}", None, base + dt.timedelta(minutes=i)))
+    for i in range(25):  # keys 0-24 get a revised, newer copy
+        rows.append((f"c{i}", 0, "user", f"payload v2 {i}", None, base + dt.timedelta(hours=1, minutes=i)))
+    for i in range(10):  # keys 0-9 get a third, newest copy
+        rows.append((f"c{i}", 0, "user", f"payload v3 {i}", None, base + dt.timedelta(hours=2, minutes=i)))
+    df = spark.createDataFrame(rows, TRANSCRIPTS)
+    src = str(tmp_path / "newest_src")
+    # shuffled delivery: 5 files in content-hash order, one per micro-batch —
+    # newer copies routinely arrive BEFORE older ones
+    df.orderBy(F.md5("text")).repartition(5).write.parquet(src)
+    s = spark.readStream.schema(TRANSCRIPTS).option("maxFilesPerTrigger", 1).parquet(src)
+    dd = streaming.dedupe_stream_newest(s)
+    with tempfile.TemporaryDirectory() as ck:
+        emitted = streaming.run_available_now(dd, ck, output_mode="update")
+    # sink upsert: champion ts is monotone per key → max-ts emission per key
+    final = {}
+    for r in emitted:
+        k = (r["conv_id"], r["turn_idx"])
+        if k not in final or r["ts"] > final[k]["ts"]:
+            final[k] = r
+    got = {(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"]) for r in final.values()}
+    exp = {
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in io.dedupe_transcripts(df).collect()
+    }
+    assert got == exp
+    # and a late OLDER re-push of an already-superseded key emits nothing new:
+    # every emitted ts per key is strictly increasing
+    seen: dict = {}
+    for r in emitted:
+        k = (r["conv_id"], r["turn_idx"])
+        if k in seen:
+            assert r["ts"] > seen[k], f"non-improving emission for {k}"
+        seen[k] = r["ts"]
+
+
 def test_yield_state_loop_equals_batch(spark, smoke_sf_dir, tmp_path):
     """VERDICT r02 item 5 (T5 in anger): the run-grain yield aggregate as a
     streaming query — foreachBatch merges each micro-batch's step skeleton
