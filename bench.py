@@ -89,12 +89,43 @@ def main() -> None:
         for k, v in rr.items():
             q[k] = min(q.get(k, v), v)
 
+    # 100 TB-critical extras (VERDICT r03 item 8): dedup/CC/ANN timings at the
+    # same sf so round-over-round regressions in the LSH family are visible,
+    # not just the yield reports. Timed once (cold) — these are batch curation
+    # passes, not the steady-state pipeline; kept OUT of the headline e2e so
+    # the metric stays comparable across rounds.
+    from ictspark.extras import curation, dedup, similarity
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    extras: dict[str, float] = {}
+
+    def timed_x(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        extras[name] = round(time.time() - t0, 3)
+
+    timed_x("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs).count())
+    timed_x("simhash_pairs", lambda: dedup.simhash_pairs(docs).count())
+    timed_x("dedup_components", lambda: curation.dedup_components(docs).count())
+    timed_x("ann_bucketed", lambda: similarity.ann_bucketed(emb).count())
+    timed_x(
+        "embedding_dup_pairs_sized",
+        lambda: similarity.embedding_dup_pairs(
+            emb, threshold=0.8, n_vectors=n_vec, target_bucket=64
+        ).count(),
+    )
+    timed_x("contamination_check", lambda: curation.contamination_check(docs).count())
+    timed_x("winnow_fingerprint", lambda: __import__("ictspark.extras.textstats", fromlist=["winnow_fingerprint"]).winnow_fingerprint(docs).count())
+
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)
     out = {
         "metric": "pipeline_e2e",
         "value": pipeline,
         "unit": "sec",
         "queries": q,
+        "extras": extras,
         "sf": sf,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / pipeline, 1),
