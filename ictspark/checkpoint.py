@@ -200,7 +200,7 @@ def _record_skipped_committed(
                     # same keys as commit/open events — lineage rows stay
                     # schema-homogeneous for lineage_metrics
                     "input_rows": n,
-                    "input_sig": day_sigs.get(day, 0),
+                    "input_sig": day_sigs.get(day, ""),
                 }
             )
 
