@@ -242,3 +242,39 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
+
+
+def winnow_reuse_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Fingerprint-index near-dup candidates (r04): pairs of docs sharing
+    ≥ ``min_shared`` winnowing fingerprints, via an equi-join on the
+    fingerprint key — the character-level companion to the word-shingle
+    families (robust to whitespace/tokenization differences the word 3-grams
+    miss, e.g. reformatted code or concatenated tokens).
+
+    Scale shape: identical to the shingle joins — the fingerprint is the
+    bucket key, a df-cap (count-over-window riding the join's own Exchange)
+    drops boilerplate fingerprints before they can square a bucket, and
+    winnowing has ALREADY thinned the key stream to ~2/(w+1) of all k-grams,
+    so the join input is ~8× smaller than a raw k-gram join at w=16."""
+    from ictspark.extras.textstats import winnow_selected
+
+    sel = winnow_selected(documents, k, w)
+    if max_df is not None:
+        sel = (
+            sel.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+            .where(F.col("df") <= max_df)
+            .drop("df")
+        )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -142,8 +142,9 @@ FROM (
 )
 GROUP BY 1"""
 
-    q["winnow_fingerprint"] = """
-WITH g AS (
+    # shared winnowing-selection CTEs (one definition against the one Spark
+    # copy in textstats.winnow_selected)
+    _winnow_sel = """g AS (
   SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 8)) AS h
   FROM (
     SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
@@ -155,10 +156,37 @@ sel AS (
          MIN(h) OVER (PARTITION BY doc_id ORDER BY p
                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
   FROM g
-)
+)"""
+
+    q["winnow_fingerprint"] = f"""
+WITH {_winnow_sel}
 SELECT doc_id, COUNT(*) AS n_fps,
        md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
 FROM sel GROUP BY 1"""
+
+    q["winnow_reuse_pairs"] = f"""
+WITH {_winnow_sel},
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY fp) AS df FROM sel
+  ) WHERE df <= {MAX_SHINGLE_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2"""
+
+    q["unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+freq AS (SELECT token, COUNT(*) AS n_tok FROM t2 GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS total FROM freq)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(n_tok / (SELECT total FROM tot))), 6) AS avg_logprob
+FROM t2 JOIN freq USING (token)
+GROUP BY 1"""
 
     langs = sorted(LANG_PROFILES)
 

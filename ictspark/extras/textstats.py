@@ -134,6 +134,42 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-LM quality score (the cheap first-pass LM filter a curation
+    pipeline runs before an expensive perplexity model): per doc, the mean
+    ln P(token) under the corpus's own unigram distribution. Documents of
+    ultra-rare tokens (gibberish, encoding damage) score very low; pure
+    boilerplate scores near the top — both tails are what the keep/drop
+    policy thresholds on.
+
+    Plan: one groupBy(token) for the frequency table (vocabulary-bounded —
+    broadcastable at any corpus size), one hash join of the token stream
+    against it, one map-side-combinable groupBy(doc_id). All built-in; ln and
+    round(6) are single identical ops in both engines."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").cast("double").alias("total"))
+    scored = toks.join(freq, "token").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("n_tok") / F.col("total"))), 6).alias("avg_logprob"),
+    )
+
+
+def winnow_selected(documents: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """The winnowing selection itself: DISTINCT (doc_id, fp) selected
+    fingerprints — shared by winnow_fingerprint (digest) and
+    dedup.winnow_reuse_pairs (candidate join) so the two can never drift."""
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
+    h = documents.select("doc_id", "text", pos.alias("p")).select(
+        "doc_id", "p", F.md5(F.expr(f"substring(text, p, {k})")).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    return h.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+
+
 def winnow_fingerprint(documents: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     the standard content-defined fingerprinting scheme; VERDICT r03 item 7):
@@ -148,12 +184,7 @@ def winnow_fingerprint(documents: DataFrame, k: int = 8, w: int = 16) -> DataFra
     generate (positions) inside codegen, ONE window shuffle on doc_id for the
     sliding min, then a map-side-combinable agg — rows are linear in corpus
     chars and fingerprints stored are ~2/(w+1) of that."""
-    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
-    h = documents.select("doc_id", "text", pos.alias("p")).select(
-        "doc_id", "p", F.md5(F.expr(f"substring(text, p, {k})")).alias("h")
-    )
-    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
-    sel = h.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    sel = winnow_selected(documents, k, w)
     return sel.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.md5(F.concat_ws(",", F.array_sort(F.collect_list("fp")))).alias("fp_digest"),

@@ -10,7 +10,6 @@ SCALE_CRITICAL = {
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
-    "dedup_exact",
     "dedup_components",
     "stratified_sample",
     "top_terms_per_lang",
@@ -46,8 +45,8 @@ R04_WINDOW = [
     "failed_boards", "failed_boards_display", "product_hourly",
     "product_daily_failures", "product_failed_boards", "product_workbook",
     "retest_counts", "first_fail", "route_counts", "limit_regime_asof",
-    "error_bursts", "tool_latency", "rolling_fingerprint", "winnow_fingerprint",
-    "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
+    "error_bursts", "tool_latency", "winnow_fingerprint", "winnow_reuse_pairs",
+    "unigram_logprob", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
     "dedup_components", "dedup_keep_list", "corpus_mix", "contamination_check",
     "stratified_sample", "top_terms_per_lang", "length_percentiles",
     "scrub_stats", "ann_bruteforce", "ann_bucketed", "ann_multiprobe",

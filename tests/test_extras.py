@@ -543,6 +543,60 @@ def test_winnow_fingerprint_properties(spark):
     assert not (sets[0] & sets[2])
 
 
+def test_unigram_logprob_orders_rare_below_common(spark):
+    """Corpus-LM score: a doc of corpus-rare tokens must score below a doc of
+    corpus-common tokens; every doc gets a finite negative score."""
+    rows = [(i, "the common words appear everywhere in the corpus") for i in range(10)]
+    rows.append((100, "zyx qwv unique gibberish tokenstream"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["avg_logprob"] for r in textstats.unigram_logprob(docs).collect()}
+    assert out[100] < out[0] < 0
+
+
+def test_winnow_reuse_pairs_finds_planted_reuse(spark):
+    """Fingerprint-index candidates: docs sharing a long passage pair up;
+    unrelated docs don't; a boilerplate fingerprint shared by >max_df docs is
+    capped out of candidate generation (bounded buckets)."""
+    shared = "this long shared passage survives winnowing intact and then some"
+    rows = [
+        (0, "prefix one " + shared + " suffix one more words"),
+        (1, "different start " + shared + " other ending"),
+        (2, "completely unrelated text about orchard irrigation"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.winnow_reuse_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    # hot-fingerprint cap (boundedness, not suppression): 150 docs sharing a
+    # boilerplate sentence would pair all-vs-all uncapped (11 175 pairs at
+    # min_shared=1, every interior fingerprint df=150). The cap drops every
+    # fingerprint with df > MAX_SHINGLE_DF before the join; only boundary
+    # windows (whose min depends on the doc's own tail, hence sub-cap df)
+    # survive, so the candidate volume collapses by >10× and every join
+    # bucket stays ≤ the cap. Tails are md5 hex: no 8-char window is shared
+    # outside the boilerplate.
+    import hashlib
+
+    def tail(i):
+        return " ".join(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:10] for j in range(4))
+
+    hot = spark.createDataFrame(
+        [(i, "the exact same boilerplate sentence " + tail(i)) for i in range(150)],
+        "doc_id int, text string",
+    )
+    n_capped = dedup.winnow_reuse_pairs(hot, min_shared=1).count()
+    assert n_capped < 11175 / 10, n_capped
+    # the join input really is bucket-bounded
+    from ictspark.extras.textstats import winnow_selected
+
+    sel = winnow_selected(hot)
+    max_df = (
+        sel.groupBy("fp").count().where(F.col("count") <= dedup.MAX_SHINGLE_DF)
+        .agg(F.max("count")).first()[0]
+    )
+    assert max_df <= dedup.MAX_SHINGLE_DF
+
+
 def test_dedup_keep_list_one_keeper_per_component(docs):
     from ictspark.extras import curation
 
