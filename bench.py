@@ -117,7 +117,11 @@ def main() -> None:
         ).count(),
     )
     timed_x("contamination_check", lambda: curation.contamination_check(docs).count())
-    timed_x("winnow_fingerprint", lambda: __import__("ictspark.extras.textstats", fromlist=["winnow_fingerprint"]).winnow_fingerprint(docs).count())
+    from ictspark.extras import textstats as TX
+
+    timed_x("winnow_fingerprint", lambda: TX.winnow_fingerprint(docs).count())
+    timed_x("winnow_reuse_pairs", lambda: dedup.winnow_reuse_pairs(docs).count())
+    timed_x("unigram_logprob", lambda: TX.unigram_logprob(docs).count())
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)
     out = {

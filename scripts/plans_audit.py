@@ -125,6 +125,15 @@ def main() -> None:
         "join, no per-row subquery. DuckDB's native ASOF JOIN is the oracle.",
     )
     add(
+        "Winnowing reuse candidates (fingerprint-index join, r04)",
+        dedup.winnow_reuse_pairs(docs),
+        "Candidates from an equi-join on winnowing-selected fingerprints: the "
+        "selection window (one doc_id-keyed window shuffle) thins the key stream to "
+        "~2/(w+1) of all k-grams BEFORE the join, and the df-cap (count-over-window "
+        "on the fingerprint key, riding the join's own Exchange) bounds every bucket. "
+        "No cartesian/theta join.",
+    )
+    add(
         "Contamination scan (shingle equi-join vs distinct bench set, r04)",
         __import__("ictspark.extras.curation", fromlist=["contamination_check"]).contamination_check(docs),
         "Benchmark membership via hash join on the shingle key against the DISTINCT "
