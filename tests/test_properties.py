@@ -164,3 +164,34 @@ def test_error_bursts_property(spark):
             assert (got[0]["n_bursts"], got[0]["max_burst"]) == (n, mx)
 
     check()
+
+
+def test_winnowing_guarantee_property(spark):
+    """THE winnowing theorem (Schleimer et al. §3): two documents sharing any
+    substring of length ≥ w + k - 1 (= 23 at k=8, w=16) MUST share at least
+    one selected fingerprint — the guarantee that makes the fingerprint
+    equi-join a sound near-dup candidate generator. Randomized over seeds:
+    distinct random docs with a random planted shared run."""
+    import random
+
+    from ictspark.extras.textstats import winnow_selected
+
+    rows = []
+    expected_pairs = []
+    for seed in range(8):
+        rng = random.Random(seed)
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        shared = "".join(rng.choice(alpha) for _ in range(23 + rng.randrange(20)))
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(30, 120)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(30, 120)))
+        ia, ib = 2 * seed, 2 * seed + 1
+        rows.append((ia, a[: len(a) // 2] + shared + a[len(a) // 2 :]))
+        rows.append((ib, b[: len(b) // 3] + shared + b[len(b) // 3 :]))
+        expected_pairs.append((ia, ib))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sel = winnow_selected(docs).collect()
+    sets: dict = {}
+    for r in sel:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    for ia, ib in expected_pairs:
+        assert sets[ia] & sets[ib], f"guarantee violated for docs {ia},{ib}"
