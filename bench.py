@@ -108,7 +108,13 @@ def main() -> None:
 
     timed_x("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs).count())
     timed_x("simhash_pairs", lambda: dedup.simhash_pairs(docs).count())
-    timed_x("dedup_components", lambda: curation.dedup_components(docs).count())
+
+    def _components() -> None:
+        labels = curation.dedup_components(docs)
+        labels.count()
+        labels.unpersist()  # caller contract: release the persisted labels
+
+    timed_x("dedup_components", _components)
     timed_x("ann_bucketed", lambda: similarity.ann_bucketed(emb).count())
     timed_x(
         "embedding_dup_pairs_sized",

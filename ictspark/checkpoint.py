@@ -164,7 +164,7 @@ def _last_open_event(entries: list[dict], day: str) -> dict | None:
 
 
 def _record_skipped_committed(
-    lin: Lineage, day_counts: dict[str, int], day_sigs: dict[str, int],
+    lin: Lineage, day_counts: dict[str, int], day_sigs: dict[str, str],
     done: set[str], mode: str, entries: list[dict] | None = None,
 ) -> None:
     """Observability for the committed-day immutability rule (ADVICE r02):

@@ -149,13 +149,14 @@ _HALF_BITS = 32  # stored as two non-negative 32-bit halves (engine-portable:
 # Spark's sum would; two halves < 2^32 need no shifts, no sign handling)
 
 
-def _half_bits(hcol: F.Column, prefix: str) -> list[F.Column]:
-    """32 ±1-summed parity bits from the 32 hex nibbles of one md5 column."""
+def _half_bits(col_name: str) -> list[F.Column]:
+    """32 ±1-summed parity bits from the 32 hex nibbles of the named md5
+    column (the aliases reuse the name as their prefix)."""
     aggs = []
     for j in range(_HALF_BITS):
-        nib = F.expr(f"instr('0123456789abcdef', substring({prefix}, {j + 1}, 1)) - 1")
+        nib = F.expr(f"instr('0123456789abcdef', substring({col_name}, {j + 1}, 1)) - 1")
         aggs.append(
-            (F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)) > 0).cast("int").alias(f"{prefix}{j}")
+            (F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)) > 0).cast("int").alias(f"{col_name}{j}")
         )
     return aggs
 
@@ -172,7 +173,7 @@ def simhash(documents: DataFrame) -> DataFrame:
     t = t.withColumn("hl", F.md5("token")).withColumn(
         "hh", F.md5(F.concat(F.col("token"), F.lit("#hi")))
     )
-    sig = t.groupBy("doc_id").agg(*_half_bits(F.col("hl"), "hl"), *_half_bits(F.col("hh"), "hh"))
+    sig = t.groupBy("doc_id").agg(*_half_bits("hl"), *_half_bits("hh"))
     lo = sum(F.col(f"hl{j}") * F.lit(2**j) for j in range(_HALF_BITS))
     hi = sum(F.col(f"hh{j}") * F.lit(2**j) for j in range(_HALF_BITS))
     return sig.select(

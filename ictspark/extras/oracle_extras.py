@@ -138,7 +138,7 @@ SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"""
 SELECT doc_id, MIN(md5(substr(text, CAST(p AS INT), 8))) AS rfp
 FROM (
   SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
-  FROM documents
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
 )
 GROUP BY 1"""
 
@@ -148,7 +148,7 @@ GROUP BY 1"""
   SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 8)) AS h
   FROM (
     SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
-    FROM documents
+    FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
   )
 ),
 sel AS (

@@ -124,10 +124,13 @@ def rolling_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
     shingles — robust to local edits, unlike the whole-text md5. Kept for
     compatibility; ``winnow_fingerprint`` below is the production form
     (per-window minima → a fingerprint SET, not one global min).
-    Engine-portable: both Spark and DuckDB compute min(md5(substr(text,i,k)))."""
+    Engine-portable: both Spark and DuckDB compute min(md5(substr(text,i,k)));
+    NULL text coalesces to '' (same cross-engine NULL rationale as
+    winnow_selected)."""
+    d = documents.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
     return (
-        documents.select("doc_id", "text", pos.alias("p"))
+        d.select("doc_id", "text", pos.alias("p"))
         .select("doc_id", F.md5(F.expr(f"substring(text, p, {k})")).alias("h"))
         .groupBy("doc_id")
         .agg(F.min("h").alias("rfp"))
@@ -161,9 +164,13 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
 def winnow_selected(documents: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     """The winnowing selection itself: DISTINCT (doc_id, fp) selected
     fingerprints — shared by winnow_fingerprint (digest) and
-    dedup.winnow_reuse_pairs (candidate join) so the two can never drift."""
+    dedup.winnow_reuse_pairs (candidate join) so the two can never drift.
+    NULL text is coalesced to '' — Spark's greatest() ignores NULLs while
+    DuckDB's propagates them, so an un-coalesced NULL doc would be dropped by
+    one engine and fingerprinted by the other (code-review r04)."""
+    d = documents.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
-    h = documents.select("doc_id", "text", pos.alias("p")).select(
+    h = d.select("doc_id", "text", pos.alias("p")).select(
         "doc_id", "p", F.md5(F.expr(f"substring(text, p, {k})")).alias("h")
     )
     win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)

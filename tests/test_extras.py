@@ -525,7 +525,7 @@ def test_winnow_fingerprint_properties(spark):
     for d, r in wf.items():
         assert r["n_fps"] < n_shingles[d] / 3  # much denser reduction than /3 typically
         assert r["n_fps"] >= 1
-    assert wf[0]["fp_digest"] != wf[1]["fp_digest"] != wf[2]["fp_digest"]
+    assert len({wf[0]["fp_digest"], wf[1]["fp_digest"], wf[2]["fp_digest"]}) == 3
     # the shared substring yields at least one common selected fingerprint:
     # recompute the selected sets explicitly via the same definition
     from pyspark.sql import Window as W
@@ -595,6 +595,33 @@ def test_winnow_reuse_pairs_finds_planted_reuse(spark):
         .agg(F.max("count")).first()[0]
     )
     assert max_df <= dedup.MAX_SHINGLE_DF
+
+
+def test_fingerprint_ops_null_text_engine_parity(spark):
+    """NULL-text cross-engine pin (code-review r04): Spark's greatest()
+    ignores NULLs while DuckDB's propagates, and collect_list vs string_agg
+    treat all-NULL groups differently — both ops coalesce text to '' so a
+    NULL doc gets the SAME fingerprint rows in both engines."""
+    import duckdb
+    import pandas as pd
+
+    from ictspark.compare import diff
+    from ictspark.extras.oracle_extras import extras_oracles
+
+    rows = [(0, None), (1, "a real document with some text in it")]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    oracles = extras_oracles("unused", "unused")
+    for name, fn in (
+        ("winnow_fingerprint", textstats.winnow_fingerprint),
+        ("rolling_fingerprint", textstats.rolling_fingerprint),
+    ):
+        got = fn(sdf).toPandas()
+        exp = con.execute(oracles[name]).df()
+        assert diff(got, exp) is None, name
+        assert len(got) == 2, name  # the NULL doc is fingerprinted, not dropped
 
 
 def test_dedup_keep_list_one_keeper_per_component(docs):

@@ -126,6 +126,8 @@ def test_yields_materialize_leaves_no_cached_frames(spark, sa):
     """VERDICT r03 item 3: a standalone A.yields() call must not leak its
     run_grain cache into the session (one cached frame per invocation adds up
     to real cache pressure on a shared long-lived cluster session)."""
+    sa.count()  # materialize the module fixture's own cache OUTSIDE the
+    # measured region, so this test is order-independent under -k/xdist
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     out = A.yields(sa)  # materialize=True: eager tiny result, cache released
