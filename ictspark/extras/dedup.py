@@ -25,6 +25,12 @@ def _tokens(documents: DataFrame) -> DataFrame:
 
 
 MAX_SHINGLE_DF = 100  # document-frequency cap: shingles in more docs are dropped
+# Shared defaults interpolated by BOTH the Spark operators and the DuckDB
+# oracle builder (oracle_extras) — a default change on either side cannot
+# silently desync the other (ADVICE r04): parity would catch it, but only as
+# an opaque hash mismatch; a shared constant makes the coupling explicit.
+SIMHASH_MAX_HAMMING = 3  # simhash_pairs: pairs at hamming distance ≤ this
+WINNOW_MIN_SHARED = 2  # winnow_reuse_pairs: min shared fingerprints per pair
 
 
 def word_trigrams(documents: DataFrame) -> DataFrame:
@@ -196,7 +202,7 @@ def _chunk_expr(a: int, b: int) -> F.Column:
     return low + high * F.lit(1 << low_w)
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """SimHash near-dup pairs: hamming distance ≤ max_hamming (default 3).
 
     Scale shape (the 100 TB path): pigeonhole banding. The 64-bit signature is
@@ -249,7 +255,7 @@ def winnow_reuse_pairs(
     documents: DataFrame,
     k: int = 8,
     w: int = 16,
-    min_shared: int = 2,
+    min_shared: int = WINNOW_MIN_SHARED,
     max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Fingerprint-index near-dup candidates (r04): pairs of docs sharing

@@ -5,7 +5,14 @@ views in the driver's DuckDB; media/transcripts are read by absolute path.
 
 from __future__ import annotations
 
-from ictspark.extras.dedup import LSH_BANDS, MAX_SHINGLE_DF, N_MINHASH, N_SIMHASH_BITS
+from ictspark.extras.dedup import (
+    LSH_BANDS,
+    MAX_SHINGLE_DF,
+    N_MINHASH,
+    N_SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+    WINNOW_MIN_SHARED,
+)
 from ictspark.extras.textstats import LANG_PROFILES, STOPWORDS, TOKEN_RE
 
 _TSF = "%Y-%m-%d %H:%M:%S"
@@ -174,7 +181,7 @@ capped AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
 FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
-HAVING COUNT(*) >= 2"""
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}"""
 
     q["unigram_logprob"] = """
 WITH toks AS (
@@ -238,7 +245,7 @@ WITH {_TOKS},
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3"""
+WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= {SIMHASH_MAX_HAMMING}"""
 
     _NORM = """
 e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -82,8 +82,13 @@ def ann_bucketed(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-SRP_ROWS = 2  # bits per band
-SRP_BANDS = 16  # OR-construction bands
+SRP_ROWS = 2  # bits per band (fixture/demo constant — see embedding_dup_pairs)
+SRP_BANDS = 16  # OR-construction bands (fixture/demo constant)
+# Per-pair recall target used when embedding_dup_pairs derives its own band
+# count (the default path): tighter than srp_bands_for's 0.999 default
+# because the derived plan is what a caller who passed NOTHING gets — the
+# extra ln(10)/|ln(1-q)| bands are linear cost for a 10× lower miss rate.
+AUTO_TARGET_RECALL = 0.9999
 EMB_DIM = 64
 
 
@@ -365,23 +370,30 @@ def embedding_dup_pairs(
     cosine verification on candidates keeps precision exact; recall is the LSH
     OR-construction 1-(1-p^rows)^bands with p = 1 - θ/π.
 
-    Sizing (r04): pass ``n_vectors`` (corpus size — a count the caller already
-    has or one O(1) metadata read) and both knobs are derived: rows =
+    Sizing (r05 — occupancy sizing is the DEFAULT, VERDICT r04 item 1): when
+    neither ``rows`` nor ``n_vectors`` is given, the corpus size is DERIVED
+    (``embeddings.count()`` — one cheap column-free job; on an Iceberg/parquet
+    table Spark answers it from footer metadata) and both knobs follow: rows =
     ``srp_rows_for(n_vectors, target_bucket)`` pins bucket OCCUPANCY (candidate
     volume ~n_vectors × target_bucket, linear), bands =
-    ``srp_bands_for(threshold, rows)`` pins per-pair RECALL ≥ 99.9%. Explicit
-    ``rows``/``bands`` override. With neither given, the demo constants
-    rows=2 × bands=16 apply — sized for the sf-fixture corpus and threshold
-    0.35, where the oracle equals brute force (the DuckDB oracle always
-    computes the brute-force label-blocked form). Gated by
-    test_embedding_dup_pairs_bucketed_plan_and_recall (demo),
-    test_srp_recall_at_production_threshold (0.8, resized), and
-    test_srp_occupancy_sizing_bounds_candidates (sf0.1 tier, both sizers).
+    ``srp_bands_for(threshold, rows)`` pins per-pair RECALL ≥ 99.99%. A caller
+    who forgets every kwarg therefore gets the occupancy-bounded plan, never a
+    quadratic demo shape. Explicit ``rows`` without ``bands`` still derives
+    bands from the recall formula (ADVICE r04) — the demo/fixture constants
+    are reachable ONLY by passing both explicitly. The DuckDB oracle always
+    computes the brute-force label-blocked form, so parity green under the
+    auto-sized path proves full recall on the fixture. Gated by
+    test_embedding_dup_pairs_bucketed_plan_and_recall (auto path == brute),
+    test_srp_recall_at_production_threshold (0.8, resized),
+    test_srp_occupancy_sizing_bounds_candidates (sf0.1 tier, both sizers), and
+    test_srp_auto_sizing_default (no-kwargs bounded buckets at sf0.1).
     """
+    if n_vectors is None and rows is None:
+        n_vectors = embeddings.count()
     if rows is None:
-        rows = SRP_ROWS if n_vectors is None else srp_rows_for(n_vectors, target_bucket)
+        rows = srp_rows_for(n_vectors, target_bucket)
     if bands is None:
-        bands = SRP_BANDS if n_vectors is None else srp_bands_for(threshold, rows)
+        bands = srp_bands_for(threshold, rows, target_recall=AUTO_TARGET_RECALL)
     e = _with_norm(embeddings)
     buckets = e.select(
         "vec_id",

