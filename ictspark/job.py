@@ -97,6 +97,24 @@ def cmd_incremental(args: argparse.Namespace) -> None:
     )
 
 
+def _vanished_file_error(e: Exception) -> bool:
+    """True iff the exception is the files-deleted-mid-read class (the only
+    one the cmd_changes retry is meant for — ADVICE r04: a bare except also
+    retried genuine failures). Spark surfaces the race as a
+    FileNotFoundException cause (often with its 'underlying files have been
+    updated' hint) or an analysis-time path-not-found."""
+    s = str(e)
+    return any(
+        m in s
+        for m in (
+            "FileNotFoundException",
+            "does not exist",
+            "have been updated",
+            "PATH_NOT_FOUND",
+        )
+    )
+
+
 def cmd_changes(args: argparse.Namespace) -> None:
     """Consumer side of the snapshot log: report (and optionally export) what
     the commits after --after added, Iceberg-incremental-scan style.
@@ -108,7 +126,13 @@ def cmd_changes(args: argparse.Namespace) -> None:
     a read failure: the rewrite that deleted the files has by then recorded
     its REPLACE snapshot, so the affected partitions degrade to the
     replaced/full-re-read path — the same semantics Iceberg's
-    refuse-overwrite-ranges rule gives a concurrent reader."""
+    refuse-overwrite-ranges rule gives a concurrent reader. Only the
+    vanished-file class retries (anything else re-raises), and the export is
+    written to a temp path and renamed into place, so a failed attempt 0 can
+    never leave a partial appended/ dir that attempt 1 then reports as clean
+    (ADVICE r04)."""
+    import shutil
+
     from ictspark import snapshots as SN
 
     spark = _spark()
@@ -118,11 +142,24 @@ def cmd_changes(args: argparse.Namespace) -> None:
         appended, replaced = SN.changes_since(spark, routed, log, args.after)
         try:
             n_appended = appended.count() if appended is not None else 0
-            if args.export and appended is not None:
-                appended.write.mode("overwrite").parquet(os.path.join(args.export, "appended"))
+            if args.export:
+                final = os.path.join(args.export, "appended")
+                tmp = final + ".__tmp__"
+                if appended is not None:
+                    appended.write.mode("overwrite").parquet(tmp)
+                    if os.path.isdir(final):
+                        shutil.rmtree(final)
+                    os.replace(tmp, final)
+                else:
+                    # nothing appended THIS run: leave no stale export (a
+                    # leftover dir from an earlier attempt/run would read as
+                    # this run's output next to an n_appended=0 report)
+                    for p in (tmp, final):
+                        if os.path.isdir(p):
+                            shutil.rmtree(p)
             break
-        except Exception:
-            if attempt == 1:
+        except Exception as e:
+            if attempt == 1 or not _vanished_file_error(e):
                 raise
             # files vanished mid-read: re-parse the journal (now holding the
             # replace snapshot) and degrade those partitions to full re-read

@@ -79,6 +79,50 @@ def test_job_changes_cli(spark, smoke_sf_dir, capsys):
         assert rep["current_snapshot_id"] > 0
 
 
+def test_job_changes_export_atomic(spark, smoke_sf_dir, capsys):
+    """ADVICE r04: the --export write must be temp-path + rename, and stale
+    dirs (a previous run's partial temp, an old appended/) must not survive a
+    run — the exported parquet must hold exactly the rows this run reports,
+    with no temp dir left behind."""
+    d = synth.synth_dir_for(smoke_sf_dir)
+    with tempfile.TemporaryDirectory() as out:
+        job.main(
+            [
+                "incremental",
+                "--transcripts", os.path.join(d, "transcripts.parquet"),
+                "--tool-dim", os.path.join(d, "tool_dim.parquet"),
+                "--out", out,
+                "--checkpoint", f"{out}/ck",
+            ]
+        )
+        capsys.readouterr()
+        exp_dir = f"{out}/export"
+        # plant stale junk where a crashed prior attempt would leave it
+        os.makedirs(f"{exp_dir}/appended.__tmp__")
+        os.makedirs(f"{exp_dir}/appended")
+        with open(f"{exp_dir}/appended/garbage.txt", "w") as f:
+            f.write("stale")
+        job.main(
+            ["changes", "--out", out, "--checkpoint", f"{out}/ck", "--after", "0",
+             "--export", exp_dir]
+        )
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["appended_rows"] > 0
+        assert not os.path.exists(f"{exp_dir}/appended.__tmp__")
+        assert not os.path.exists(f"{exp_dir}/appended/garbage.txt")
+        assert spark.read.parquet(f"{exp_dir}/appended").count() == rep["appended_rows"]
+        # an --after at the current head appends nothing: the report must not
+        # sit next to a stale appended/ dir from the earlier run
+        capsys.readouterr()
+        job.main(
+            ["changes", "--out", out, "--checkpoint", f"{out}/ck",
+             "--after", str(rep["current_snapshot_id"]), "--export", exp_dir]
+        )
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["appended_rows"] == 0
+        assert not os.path.exists(f"{exp_dir}/appended")
+
+
 def test_job_yield_stream_cli(spark, smoke_sf_dir, capsys):
     import shutil
 

@@ -130,15 +130,22 @@ def test_dedupe_stream_newest_wins_on_updated_payloads(spark, tmp_path):
         rows.append((f"c{i}", 0, "user", f"payload v2 {i}", None, base + dt.timedelta(hours=1, minutes=i)))
     for i in range(10):  # keys 0-9 get a third, newest copy
         rows.append((f"c{i}", 0, "user", f"payload v3 {i}", None, base + dt.timedelta(hours=2, minutes=i)))
+    # ADVICE r04: a missing-timestamp row — pandas delivers NaT, which the
+    # champion pick must detect via pd.isna and map to the -1 sentinel (any
+    # real ts beats it; a lone null-ts key emits ts=None)
+    rows.append(("cnull", 0, "user", "payload no ts", None, None))
     df = spark.createDataFrame(rows, TRANSCRIPTS)
     src = str(tmp_path / "newest_src")
     # shuffled delivery: 5 files in content-hash order, one per micro-batch —
     # newer copies routinely arrive BEFORE older ones
     df.orderBy(F.md5("text")).repartition(5).write.parquet(src)
     s = spark.readStream.schema(TRANSCRIPTS).option("maxFilesPerTrigger", 1).parquet(src)
-    dd = streaming.dedupe_stream_newest(s)
+    # large finite retention: exercises the ProcessingTimeTimeout code path
+    # without wall-clock flakiness (a 5 s TTL could genuinely expire between
+    # this test's micro-batches); expiry semantics get their own test below
+    dd = streaming.dedupe_stream_newest(s, retention_ms=600_000)
     with tempfile.TemporaryDirectory() as ck:
-        emitted = streaming.run_available_now(dd, ck, output_mode="update")
+        emitted = streaming.run_until_idle(dd, ck, output_mode="update")
     # sink upsert: champion ts is monotone per key → max-ts emission per key
     final = {}
     for r in emitted:
@@ -159,6 +166,54 @@ def test_dedupe_stream_newest_wins_on_updated_payloads(spark, tmp_path):
         if k in seen:
             assert r["ts"] > seen[k], f"non-improving emission for {k}"
         seen[k] = r["ts"]
+
+
+def test_dedupe_stream_newest_retention_expiry_readmits(spark, tmp_path):
+    """VERDICT r04 item 2, the now-ENFORCED retention contract: champion
+    state for a key idle past ``retention_ms`` is REMOVED (ProcessingTime
+    timeout), so a re-push arriving after expiry re-admits the key — even
+    with an OLDER ts. Three drains over one checkpoint: (1) key c0 arrives
+    with a NEW ts and is emitted; (2) after sleeping past retention, a batch
+    of unrelated keys runs, firing c0's timeout and dropping its state; (3)
+    an older re-push of c0 arrives and MUST be emitted again (with live
+    state it would have been silently absorbed — the monotonicity assert in
+    the parity test above proves that side)."""
+    import datetime as dt
+    import shutil
+    import time
+
+    from ictspark.schema import TRANSCRIPTS
+
+    newer = dt.datetime(2024, 3, 1, 12, 0, 0)
+    older = dt.datetime(2024, 3, 1, 11, 0, 0)
+    src = str(tmp_path / "exp_src")
+    ck = str(tmp_path / "exp_ck")
+    os.makedirs(src)
+
+    def add_file(name: str, rows) -> None:
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, TRANSCRIPTS).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+
+    def drain() -> list:
+        s = spark.readStream.schema(TRANSCRIPTS).parquet(src)
+        return streaming.run_until_idle(
+            streaming.dedupe_stream_newest(s, retention_ms=500), ck, output_mode="update"
+        )
+
+    add_file("f1", [("c0", 0, "user", "v-new", None, newer)])
+    first = drain()
+    assert [(r["conv_id"], r["ts"]) for r in first] == [("c0", newer)]
+    time.sleep(1.0)  # let c0's 500 ms retention lapse
+    # a batch must RUN for the timeout to fire; unrelated keys provide it
+    add_file("f2", [("c9", 0, "user", "other", None, newer)])
+    second = drain()
+    assert [(r["conv_id"]) for r in second] == ["c9"]
+    # older re-push after expiry: re-admitted (fresh state), so it re-emits
+    add_file("f3", [("c0", 0, "user", "v-old", None, older)])
+    third = drain()
+    assert [(r["conv_id"], r["text"], r["ts"]) for r in third] == [("c0", "v-old", older)]
 
 
 def test_yield_state_loop_equals_batch(spark, smoke_sf_dir, tmp_path):
