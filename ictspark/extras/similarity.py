@@ -160,21 +160,95 @@ IVF_K = 16  # coarse centroids (fixed: vec_id in [N_QUERIES, N_QUERIES+K))
 IVF_NPROBE = 4
 
 
-def ann_ivf(embeddings: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE) -> DataFrame:
+def _fixed_centroids(e: DataFrame) -> DataFrame:
+    """The deterministic fixed-subset coarse quantizer (vec_id ∈
+    [N_QUERIES, N_QUERIES+IVF_K)) — bit-identical across engines, so it is
+    the oracle-checked path."""
+    return e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, k: int = IVF_K, n_iter: int = 3
+) -> DataFrame:
+    """Seeded Lloyd's refinement of the coarse quantizer (VERDICT r04 item
+    7): spherical k-means over the full corpus, initialized from the SAME
+    fixed deterministic subset the untrained path uses (no RNG — the seed is
+    the data). Each iteration is one broadcast join of the K-row centroid
+    table against the vectors (assign every vector to its max-cosine
+    centroid, ties to the lowest cent_id) followed by a map-side-combinable
+    per-dimension mean — O(n·K·d) scan work per iteration, never O(n²), and
+    K rows ever cross the driver. Empty clusters keep their previous
+    centroid. Returns the (cent_id, cv, cn) shape ``ann_ivf`` accepts via
+    its ``centroids`` parameter; the fixed-subset path stays the
+    oracle-checked default (distributed float means are order-of-reduction
+    dependent, so trained centroids are for recall, not bit-parity)."""
+    e = _with_norm(embeddings)
+    cents = _fixed_centroids(e)
+    for _ in range(n_iter):
+        csim = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+        assign = (
+            e.join(F.broadcast(cents))
+            .withColumn("csim", csim)
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cent_id")
+                ),
+            )
+            .where("crank = 1")
+            .select("cent_id", "v")
+        )
+        # per-dimension mean via posexplode → (cent, dim) avg → re-assemble;
+        # both aggs are algebraic (partial means combine map-side)
+        dims = assign.select("cent_id", F.posexplode("v").alias("d", "x"))
+        means = dims.groupBy("cent_id", "d").agg(F.avg("x").alias("m"))
+        new = (
+            means.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .withColumn(
+                "cn", F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+            )
+            .where(F.col("cn") > 0)
+        )
+        # empty clusters (no members this round) retain their old centroid
+        kept = cents.join(new.select("cent_id"), "cent_id", "left_anti")
+        merged = new.unionByName(kept)
+        # materialize the K-row table through the driver each iteration:
+        # truncates the per-iteration lineage (otherwise iteration i replays
+        # iterations 0..i-1 on every action) — K rows is exactly the scale a
+        # broadcast centroid table crosses the driver at anyway
+        cents = embeddings.sparkSession.createDataFrame(
+            merged.collect(), schema=merged.schema
+        )
+    return cents
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """IVF-style ANN: inverted lists under a coarse quantizer + nprobe search.
 
-    The coarse centroids are a FIXED deterministic subset of the vectors
-    (vec_id ∈ [N_QUERIES, N_QUERIES+IVF_K)) rather than k-means-trained —
-    the index STRUCTURE (assign each vector to its nearest centroid's inverted
-    list; a query scans only its nprobe nearest lists) is what matters at
-    scale, and fixed centroids keep both engines bit-identical. Assignment is
-    a broadcast join against the K-row centroid table — O(n·K) scan work with
+    The default coarse centroids are a FIXED deterministic subset of the
+    vectors (vec_id ∈ [N_QUERIES, N_QUERIES+IVF_K)) rather than
+    k-means-trained — the index STRUCTURE (assign each vector to its nearest
+    centroid's inverted list; a query scans only its nprobe nearest lists) is
+    what matters at scale, and fixed centroids keep both engines
+    bit-identical. Pass ``centroids`` (e.g. from ``train_ivf_centroids``) to
+    swap in a trained quantizer behind the same interface. Assignment is a
+    broadcast join against the K-row centroid table — O(n·K) scan work with
     constant K, never O(n²) — followed by per-list equi-joins for the probes.
     """
     e = _with_norm(embeddings)
-    cents = e.where(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    cents = _fixed_centroids(e) if centroids is None else centroids
     csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6)
     scored = e.join(F.broadcast(cents)).withColumn("csim", csim)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cent_id")

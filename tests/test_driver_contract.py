@@ -1,7 +1,11 @@
 """Driver-contract invariants: the CORRECTNESS harness records only the FIRST
 50 queries() entries, so the window composition is load-bearing (VERDICT r02
 item 1) — this test fails if a future edit pushes a scale-critical operator
-out of the window."""
+out of the window before it has accumulated independent driver-green rounds."""
+
+import glob
+import json
+import os
 
 import __spark_entry__ as E
 
@@ -35,35 +39,58 @@ SCALE_CRITICAL = {
 }
 
 
-# The EXACT r04 window (ADVICE r03: pin the full 50-entry list, not just a
+# The EXACT r05 window (ADVICE r03: pin the full 50-entry list, not just a
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
-R04_WINDOW = [
-    "parse_steps", "yield_report", "failure_counts", "failure_detail",
-    "failures_by_index", "hourly_stats", "mb_results", "mb_positions",
-    "step_series", "step_histogram", "step_cpk_trend", "limit_changes",
-    "failed_boards", "failed_boards_display", "product_hourly",
-    "product_daily_failures", "product_failed_boards", "product_workbook",
-    "retest_counts", "first_fail", "route_counts", "limit_regime_asof",
+# r05 fills the window by accumulated-green count ascending: 8 never-graded,
+# 16 once-green, 13 twice-green tail residents, 13 thrice-green r04
+# displacements (VERDICT r04 item 5) — after this round every registry entry
+# holds ≥ 2 driver-green rounds.
+R05_WINDOW = [
+    "export_matrix_vertical", "repetition_score", "events_day_0600",
+    "tpch_q1like", "tpch_q5like", "parts_by_brand", "top_customers",
+    "events_sessionize", "product_workbook", "limit_regime_asof",
     "error_bursts", "tool_latency", "winnow_fingerprint", "winnow_reuse_pairs",
-    "unigram_logprob", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
-    "dedup_components", "dedup_keep_list", "corpus_mix", "contamination_check",
-    "stratified_sample", "top_terms_per_lang", "length_percentiles",
-    "scrub_stats", "ann_bruteforce", "ann_bucketed", "ann_multiprobe",
-    "ann_ivf", "ann_quantized_rerank", "embedding_dup_pairs",
-    "embedding_quantize", "embedding_norm_stats", "media_stats",
-    "frame_sample_plan", "media_featurize", "media_dedup",
+    "unigram_logprob", "dedup_keep_list", "corpus_mix", "contamination_check",
+    "ann_quantized_rerank", "embedding_norm_stats", "media_dedup",
+    "mb_result_boxes", "events_hourly", "events_shift_buckets",
+    "export_matrix_failed", "export_matrix_final_run", "tool_call_stats",
+    "tool_call_args_hist", "retest_marker_parity", "reassembly_check",
+    "conv_turn_stats", "conv_reports", "dq_report", "first_fail_reports",
+    "role_stats", "hourly_labeled", "step_units", "hourly_detail",
+    "hourly_totals", "daily_report", "limit_change_points", "testlist",
+    "step_value_stats", "export_matrix", "doc_stats", "quality_score",
+    "fingerprint", "rolling_fingerprint", "dedup_exact", "lang_id",
 ]
 
 
-def test_scale_critical_queries_inside_driver_window():
-    window = list(E.queries())[:50]
-    missing = SCALE_CRITICAL - set(window)
-    assert not missing, f"scale-critical queries outside the 50-entry window: {missing}"
+def _driver_green_rounds(name: str) -> int:
+    """Count of past driver rounds where `name` was graded fully green."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n = 0
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rec = json.load(open(p)).get(name)
+        if rec and rec.get("hash_match") and not rec.get("err"):
+            n += 1
+    return n
+
+
+def test_scale_critical_queries_graded_or_proven():
+    """Every scale-critical operator must either sit inside the 50-entry
+    driver window or already hold ≥ 2 independent driver-green rounds —
+    rotation may move a proven operator to the parity-only tail (VERDICT r04
+    item 5), but never an unproven one."""
+    window = set(list(E.queries())[:50])
+    weak = [
+        n
+        for n in SCALE_CRITICAL
+        if n not in window and _driver_green_rounds(n) < 2
+    ]
+    assert not weak, f"scale-critical queries neither windowed nor twice-green: {weak}"
 
 
 def test_exact_driver_window_pinned():
-    assert list(E.queries())[:50] == R04_WINDOW
+    assert list(E.queries())[:50] == R05_WINDOW
 
 
 def test_every_query_has_an_oracle():

@@ -346,6 +346,30 @@ def test_srp_shipped_params_satisfy_sizing_formula():
     assert similarity.srp_bands_for(0.35, rows=similarity.SRP_ROWS) <= similarity.SRP_BANDS
 
 
+def test_ivf_trained_centroids_beat_fixed_recall(spark):
+    """VERDICT r04 item 7: the seeded-Lloyd's coarse quantizer behind the
+    same ann_ivf interface must recover at least as much of the brute-force
+    top-3 as the fixed-subset centroids on the sf0.1 embeddings (measured:
+    0.70 vs 0.43). The fixed path stays the oracle-checked default —
+    distributed float means are reduction-order dependent."""
+    emb01 = io.load_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in similarity.ann_bruteforce(emb01, k=3).collect()
+        if r["rank"] <= 3
+    }
+    fixed = {(r["q_id"], r["c_id"]) for r in similarity.ann_ivf(emb01).collect()}
+    cents = similarity.train_ivf_centroids(emb01)
+    assert cents.count() == similarity.IVF_K  # no cluster lost in training
+    trained = {
+        (r["q_id"], r["c_id"])
+        for r in similarity.ann_ivf(emb01, centroids=cents).collect()
+    }
+    assert len(trained & truth) >= len(fixed & truth)
+    assert len(trained & truth) / len(truth) >= 0.5  # and genuinely useful
+    emb01.unpersist()
+
+
 def test_ann_bucketed_subset_of_bruteforce_space(emb):
     r = similarity.ann_bucketed(emb)
     assert r.where(F.col("rank") > 3).count() == 0
