@@ -640,4 +640,57 @@ GROUP BY 1, 2
 ORDER BY revenue DESC, c_custkey
 LIMIT 10"""
 
+    q["bigram_logprob"] = f"""
+WITH {_TOKS},
+b2 AS (
+  SELECT doc_id, t1, t2 FROM (
+    SELECT doc_id, token AS t1,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM toks
+  ) WHERE t2 IS NOT NULL
+),
+uni AS (SELECT token AS t1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+big AS (SELECT t1, t2, COUNT(*) AS c2 FROM b2 GROUP BY 1, 2),
+v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS vsize FROM toks)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((c2 + 1.0) / (c1 + (SELECT vsize FROM v)))), 6) AS avg_logprob
+FROM b2 JOIN big USING (t1, t2) JOIN uni USING (t1)
+GROUP BY 1"""
+
+    # SemDeDup (cluster-blocked semantic dedup): the fixed-subset coarse
+    # quantizer makes the assignment — and therefore the whole operator —
+    # bit-reproducible in SQL (same CTE skeleton as ann_ivf's lists)
+    _SEM_ASSIGN = f"""{_NORM},
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n
+  WHERE vec_id >= 10 AND vec_id < 26
+),
+scored AS (
+  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+         ROUND(list_inner_product(n.v, c.cv) / (n.norm * c.cn), 6) AS csim
+  FROM n CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, norm, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+sempairs AS (
+  SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_inner_product(a.v, b.v) / (a.norm * b.norm), 6) AS sim
+  FROM assign a JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+)"""
+
+    q["semantic_dup_pairs"] = f"""
+WITH {_SEM_ASSIGN}
+SELECT cent_id, vec_a, vec_b, sim FROM sempairs WHERE sim >= 0.35"""
+
+    q["semantic_keep_list"] = f"""
+WITH {_SEM_ASSIGN},
+dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sempairs WHERE sim >= 0.35)
+SELECT a.vec_id, a.cent_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assign a LEFT JOIN dropped d USING (vec_id)"""
+
     return q

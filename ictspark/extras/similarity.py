@@ -496,3 +496,84 @@ def embedding_dup_pairs(
         .where(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+def _cluster_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (shared by ann_ivf's list build and the
+    semantic-dedup operators): broadcast the K-row centroid table, argmax
+    cosine, ties to the lowest cent_id. O(n·K) scan work, K rows broadcast."""
+    csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cent_id")
+    return (
+        e.join(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crank", F.row_number().over(w))
+        .where("crank = 1")
+        .select("vec_id", "v", "norm", "cent_id")
+    )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — the published curation recipe for pretraining
+    corpora): cluster the embeddings under a coarse quantizer, then compare
+    pairs ONLY within a cluster — semantically unrelated vectors never meet,
+    so the join is equi on cent_id (per-cluster shuffle), never all-pairs.
+    Complementary to ``embedding_dup_pairs``: that one blocks on the LABEL
+    column + SRP bands (exact recall guarantee per band math); this one
+    blocks on learned/derived semantic structure, which is what you want
+    when labels don't exist or near-dups cross label boundaries.
+
+    Scale shape: within-cluster volume is Σ c_i² — bounded by sizing K so
+    n/K ≈ a target bucket (pass ``train_ivf_centroids`` output with a larger
+    k at production scale; K rows still broadcast). The default fixed-subset
+    centroids keep both engines bit-identical — the DuckDB oracle reproduces
+    the same assignment, so this path is hash-checked end to end; trained
+    centroids are the recall/balance upgrade (reduction-order float means,
+    parity-exempt)."""
+    e = _with_norm(embeddings)
+    cents = _fixed_centroids(e) if centroids is None else centroids
+    a = _cluster_assign(e, cents)
+    lhs = a.select(
+        F.col("cent_id"), F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("norm").alias("an")
+    )
+    rhs = a.select(
+        F.col("cent_id"), F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"), F.col("norm").alias("bn")
+    )
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    return (
+        lhs.join(rhs, "cent_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("cent_id", "vec_a", "vec_b", "sim")
+    )
+
+
+def semantic_keep_list(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The keep/drop decision SemDeDup derives from the pair set: within each
+    cluster, any vector that near-duplicates a LOWER-id vector is dropped
+    (the standard greedy lowest-id-survives rule — deterministic, one
+    anti-join, no iteration; contrast curation.dedup_keep_list, which pays
+    for full connected components on the text side). Output: every vec_id
+    with its cluster and keep flag."""
+    e = _with_norm(embeddings)
+    cents = _fixed_centroids(e) if centroids is None else centroids
+    a = _cluster_assign(e, cents)
+    dropped = (
+        semantic_dup_pairs(embeddings, threshold, centroids)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("keep", F.lit(0))
+    )
+    return a.select("vec_id", "cent_id").join(dropped, "vec_id", "left").select(
+        "vec_id", "cent_id", F.coalesce("keep", F.lit(1)).alias("keep")
+    )

@@ -203,3 +203,46 @@ def winnow_fingerprint(documents: DataFrame, k: int = 8, w: int = 16) -> DataFra
         F.count(F.lit(1)).alias("n_fps"),
         F.md5(F.concat_ws(",", F.array_sort(F.collect_list("fp")))).alias("fp_digest"),
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Second-order corpus-LM quality score (the step between the unigram
+    filter and a real perplexity model): per doc, the mean ln P(w_i | w_1)
+    under the corpus's own bigram distribution with add-one (Laplace)
+    smoothing over the corpus vocabulary,
+
+        ln((c(w_1 w_i) + 1) / (c(w_1) + V)).
+
+    Repetitive boilerplate scores HIGH (its bigrams are corpus-frequent),
+    shuffled/garbled text scores LOW even when its unigrams are common —
+    exactly the split the unigram filter cannot see. Docs need ≥ 2 tokens to
+    appear (one row per scored bigram position). The estimator stays defined
+    for unseen bigrams (the +1), so the same tables score a held-out corpus.
+
+    Plan (same skeleton as unigram_logprob): one doc-keyed window builds the
+    bigram stream (lead over pos — the tokenization/ordering contract shared
+    with dedup.word_trigrams); the bigram and unigram frequency tables are
+    vocabulary-bounded groupBys, joined back with BROADCAST hints (bigram
+    keys are stopword-skewed like token keys); one map-side-combinable
+    groupBy(doc_id)."""
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token")
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.withColumn("t2", F.lead("token", 1).over(w)).where(F.col("t2").isNotNull())
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    big = bg.groupBy("token", "t2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = toks.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("vsize")
+    )
+    scored = (
+        bg.select("doc_id", "token", "t2")
+        .join(F.broadcast(big), ["token", "t2"])
+        .join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(vocab))
+    )
+    lp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsize")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(lp), 6).alias("avg_logprob"),
+    )

@@ -379,3 +379,77 @@ def ensure_media(sf_name: str) -> str:
     with open(meta_path, "w") as f:
         json.dump({"media_version": MEDIA_VERSION, "rows": n}, f)
     return out
+
+
+DOCS_VERSION = 1
+# the testdata documents vocabulary (31 query-language tokens), reproduced so
+# synthesized tiers exercise the same tokenizer/shingle shapes
+DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+DOC_LANGS = ["en", "de", "zh", "fr", "es"]
+DOC_LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]  # en-heavy, like testdata sf0.1
+N_DOCS = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000, "sf1": 50000}
+# 12-token boilerplate on ~30% of docs: its word trigrams and char 8-gram
+# fingerprints land in >10^4 docs at sf1 — far past MAX_SHINGLE_DF, so the
+# df-caps must BIND at this tier, not merely exist
+DOC_BOILER = "the fast scan filter join sort merge hash group window batch stream"
+
+
+def ensure_documents(sf_name: str) -> str:
+    """Deterministic `documents` table for scale tiers the driver testdata
+    does not provide (testdata ships documents only to sf0.1; the sf1
+    correctness sweep needs one — VERDICT r04 item 6). Same schema and shape
+    as testdata documents (doc_id, text, lang, source, n_chars; 31-token
+    vocabulary, 5 langs, 20 sources), plus the structures the sweep must
+    stress: 2-6 per-doc rare tokens (SimHash signatures diverge, keeping the
+    brute-force oracle's result set family-sized), planted near-dup families
+    (single-token edit of the previous doc) and exact dups, and the
+    boilerplate phrase above. Pure function of (sf_name, DOCS_VERSION)."""
+    out = os.path.join(SYNTH_ROOT, sf_name)
+    os.makedirs(out, exist_ok=True)
+    meta_path = os.path.join(out, "_docs_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("docs_version") == DOCS_VERSION:
+                return out
+    n = N_DOCS[sf_name]
+    rng = np.random.default_rng(zlib.crc32(f"docs-{sf_name}-v{DOCS_VERSION}".encode()))
+    texts: list[str] = []
+    langs: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 0 and r < 0.005:  # exact duplicate of the previous doc
+            texts.append(texts[-1])
+            langs.append(langs[-1])
+            continue
+        if i > 0 and r < 0.08:  # near-dup family: one token swapped
+            toks = texts[-1].split(" ")
+            toks[int(rng.integers(0, len(toks)))] = DOC_VOCAB[int(rng.integers(0, 31))]
+            texts.append(" ".join(toks))
+            langs.append(langs[-1])
+            continue
+        length = int(rng.integers(30, 91))
+        toks = [DOC_VOCAB[int(j)] for j in rng.integers(0, 31, size=length)]
+        for _ in range(int(rng.integers(2, 7))):  # rare tokens separate docs
+            toks[int(rng.integers(0, length))] = f"rt{int(rng.integers(0, n))}q{i % 97}"
+        if rng.random() < 0.3:
+            toks = DOC_BOILER.split(" ") + toks
+        texts.append(" ".join(toks))
+        langs.append(DOC_LANGS[int(rng.choice(5, p=DOC_LANG_W))])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+    with open(meta_path, "w") as f:
+        json.dump({"docs_version": DOCS_VERSION, "rows": n}, f)
+    return out

@@ -370,6 +370,54 @@ def test_ivf_trained_centroids_beat_fixed_recall(spark):
     emb01.unpersist()
 
 
+def test_semantic_dedup_cluster_blocked(emb):
+    """SemDeDup-style semantic dedup (r05): pairs only ever form WITHIN a
+    coarse-quantizer cluster (the blocking that makes the join per-cluster
+    instead of all-pairs), both endpoints really share the assignment, and
+    the keep list is exactly 'vec kept iff it never appears as the higher id
+    of a pair'. Exact values are oracle-checked (parity.py)."""
+    pairs = similarity.semantic_dup_pairs(emb).cache()
+    assert pairs.where(F.col("sim") < 0.35).count() == 0
+    assert pairs.where(F.col("vec_a") >= F.col("vec_b")).count() == 0
+    e = similarity._with_norm(emb)
+    assign = similarity._cluster_assign(e, similarity._fixed_centroids(e)).select(
+        "vec_id", F.col("cent_id").alias("true_cent")
+    )
+    cross = (
+        pairs.join(assign.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+        .where(F.col("cent_id") != F.col("true_cent"))
+        .count()
+    )
+    assert cross == 0
+    dropped = {r["vec_b"] for r in pairs.select("vec_b").distinct().collect()}
+    keep = similarity.semantic_keep_list(emb)
+    got_dropped = {r["vec_id"] for r in keep.where("keep = 0").collect()}
+    assert got_dropped == dropped
+    assert keep.count() == emb.count()  # every vector gets a decision
+    # trained centroids slot into the same interface
+    cents = similarity.train_ivf_centroids(emb, n_iter=1)
+    tp = similarity.semantic_dup_pairs(emb, centroids=cents)
+    assert tp.where(F.col("sim") < 0.35).count() == 0
+    pairs.unpersist()
+
+
+def test_bigram_logprob_ranks_garbled_below_natural(spark):
+    """The second-order LM must separate docs the unigram filter cannot:
+    same token multiset, shuffled order → corpus-rare bigrams → lower score.
+    Build a corpus of one repeated natural sentence + one shuffled variant;
+    the shuffled doc must score strictly lower while a repeated natural doc
+    scores the corpus max."""
+    nat = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, nat) for i in range(20)]
+    rows.append((20, "dog the over quick lazy jumps fox brown the"))  # shuffled
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    from ictspark.extras import textstats
+
+    r = {x["doc_id"]: x["avg_logprob"] for x in textstats.bigram_logprob(docs).collect()}
+    assert r[20] < r[0]
+    assert all(abs(r[i] - r[0]) < 1e-9 for i in range(20))
+
+
 def test_ann_bucketed_subset_of_bruteforce_space(emb):
     r = similarity.ann_bucketed(emb)
     assert r.where(F.col("rank") > 3).count() == 0
