@@ -128,6 +128,8 @@ def main() -> None:
     timed_x("winnow_fingerprint", lambda: TX.winnow_fingerprint(docs).count())
     timed_x("winnow_reuse_pairs", lambda: dedup.winnow_reuse_pairs(docs).count())
     timed_x("unigram_logprob", lambda: TX.unigram_logprob(docs).count())
+    timed_x("bigram_logprob", lambda: TX.bigram_logprob(docs).count())
+    timed_x("semantic_keep_list", lambda: similarity.semantic_keep_list(emb).count())
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)
     out = {

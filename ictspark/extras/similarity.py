@@ -499,9 +499,11 @@ def embedding_dup_pairs(
 
 
 def _cluster_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (shared by ann_ivf's list build and the
-    semantic-dedup operators): broadcast the K-row centroid table, argmax
-    cosine, ties to the lowest cent_id. O(n·K) scan work, K rows broadcast."""
+    """Nearest-centroid assignment for the semantic-dedup operators (same
+    rounding/tie-break contract as ann_ivf's inline list build, which also
+    ranks probes and so keeps its own ranked copy): broadcast the K-row
+    centroid table, argmax cosine, ties to the lowest cent_id. O(n·K) scan
+    work, K rows broadcast."""
     csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6)
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cent_id")
     return (
