@@ -661,3 +661,26 @@ def export_matrix_final_run(steps_a: DataFrame, steps: list[str] | None = None) 
         safe = "val_" + "".join(c if c.isalnum() else "_" for c in s.lower())
         p = p.withColumnRenamed(s, safe)
     return p
+
+
+def tool_chain_stats(transcripts: DataFrame) -> DataFrame:
+    """Tool-call chain mining over agent transcripts: successive TOOL_CALL
+    markers within a conversation (order = turn_idx, line_no — the stable
+    turn ordering of the input_hint) become (tool → next_tool) transition
+    counts with distinct-conversation support. The workflow-shape view of
+    the reference's per-test sequencing, generalized to agent tool chains.
+    One conv-scoped window (fine grain, the tool_latency class) + one
+    map-side-combinable agg."""
+    from ictspark import parse
+
+    tc = parse.parse_tool_calls(transcripts).select(
+        "conv_id", "turn_idx", "line_no", "called_tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "line_no")
+    ch = tc.withColumn("next_tool", F.lead("called_tool").over(w)).where(
+        F.col("next_tool").isNotNull()
+    )
+    return ch.groupBy("called_tool", "next_tool").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

@@ -686,6 +686,23 @@ sempairs AS (
 WITH {_SEM_ASSIGN}
 SELECT cent_id, vec_a, vec_b, sim FROM sempairs WHERE sim >= 0.35"""
 
+    q["pack_sequences"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+       CAST(start - CAST(floor(start / 512.0) AS BIGINT) * 512 AS BIGINT) AS seq_off
+FROM c"""
+
     q["semantic_keep_list"] = f"""
 WITH {_SEM_ASSIGN},
 dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sempairs WHERE sim >= 0.35)

@@ -475,6 +475,20 @@ SELECT tool, COUNT(*) AS n_calls,
        ROUND(MAX(gap_s), 4) AS max_gap_s
 FROM g WHERE tool IS NOT NULL AND gap_s IS NOT NULL GROUP BY 1"""
 
+    q["tool_chain_stats"] = p + """
+, tc AS (
+  SELECT conv_id, turn_idx, line_no,
+         regexp_extract(line, '^TOOL_CALL ([A-Za-z_][A-Za-z0-9_]*) ARGS=(.*)$', 1) AS called_tool
+  FROM lines WHERE line LIKE 'TOOL_CALL %'
+),
+ch AS (
+  SELECT conv_id, called_tool,
+         lead(called_tool) OVER (PARTITION BY conv_id ORDER BY turn_idx, line_no) AS next_tool
+  FROM tc WHERE called_tool <> ''
+)
+SELECT called_tool, next_tool, COUNT(*) AS n, COUNT(DISTINCT conv_id) AS n_convs
+FROM ch WHERE next_tool IS NOT NULL GROUP BY 1, 2"""
+
     q["limit_regime_asof"] = p + f"""
 , lim AS (SELECT * FROM steps_a WHERE lo IS NOT NULL),
 ev0 AS (

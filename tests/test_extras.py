@@ -427,6 +427,55 @@ def test_semantic_auto_sizes_cluster_count(spark):
     emb01.unpersist()
 
 
+def test_pack_sequences_two_phase_and_semantics(docs, spark):
+    """Sequence packing (r05): (a) the two-phase prefix sum must equal the
+    single-window definition exactly; (b) begin-boundary semantics — within
+    a source, seq_id is non-decreasing in doc_id and every start offset is
+    the sum of prior docs' tokens; (c) the running-sum window partitions on
+    (source, bkt), never source alone (the corpus_mix scale rule)."""
+    from pyspark.sql import Window as W
+
+    from ictspark.extras import curation
+
+    got = curation.pack_sequences(docs)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    d = docs.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
+    w1 = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    ref = d.withColumn("start", F.coalesce(F.sum("n_tokens").over(w1), F.lit(0))).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("start") / curation.PACK_WINDOW).alias("seq_id"),
+        (F.col("start") - F.floor(F.col("start") / curation.PACK_WINDOW) * curation.PACK_WINDOW)
+        .cast("bigint")
+        .alias("seq_off"),
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in ref.collect()}
+    import re
+
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"sum\(n_tokens.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert m is not None, plan
+    assert "bkt" in m.group(1), m.group(1)
+
+
+def test_tool_chain_stats_counts_transitions(spark, smoke_sf_dir):
+    """Tool-chain mining: the (tool → next_tool) transition total must equal
+    (tool calls − one per conv that has any call): each conv of k calls
+    contributes k−1 transitions, regardless of interleaved non-call turns."""
+    from ictspark import aggregates as A
+    from ictspark import parse
+
+    t = io.load_transcripts(spark, smoke_sf_dir)
+    tc = parse.parse_tool_calls(t)
+    chains = A.tool_chain_stats(t)
+    n_calls = tc.count()
+    n_convs_with_calls = tc.select("conv_id").distinct().count()
+    total = chains.agg(F.sum("n")).first()[0]
+    assert total == n_calls - n_convs_with_calls
+    assert chains.where(F.col("n_convs") > F.col("n")).count() == 0
+
+
 def test_bigram_logprob_ranks_garbled_below_natural(spark):
     """The second-order LM must separate docs the unigram filter cannot:
     same token multiset, shuffled order → corpus-rare bigrams → lower score.
