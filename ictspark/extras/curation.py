@@ -363,3 +363,69 @@ def pack_sequences(documents: DataFrame, window: int = PACK_WINDOW) -> DataFrame
         seq_id.alias("seq_id"),
         (start - seq_id * window).cast("bigint").alias("seq_off"),
     )
+
+
+MIX_BUDGET_TOKENS = 50_000  # default total token budget for mixture_plan
+
+
+def mixture_plan(
+    documents: DataFrame,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Token-budgeted weighted mixture plan — the general form of
+    ``corpus_mix``: given target WEIGHTS per language (default: uniform over
+    the languages present) and a total token budget, keep each language's
+    deterministic md5-rank prefix of documents until the language's token
+    share reaches weight × budget. This is the sampling plan a pretraining
+    run executes ("30% code, 60% web, 10% wiki" → per-source keep lists),
+    stated in tokens — the unit the budget is actually spent in — rather
+    than document counts. Begin-boundary semantics on the budget line: a doc
+    is kept iff the tokens BEFORE it (in rank order) are under the
+    language's target, so the kept set overshoots by at most one document
+    and the decision needs no look-ahead.
+
+    Scale shape: the same two-phase machinery as corpus_mix, extended from
+    ranks to token prefix-SUMS — cumulative tokens within (lang, md5-prefix
+    bucket) ordered by (mkey, doc_id), plus a broadcast ≤256-row-per-lang
+    cumulative bucket-offset table; bucket order IS key order, so the global
+    prefix sum is exact and the single-window oracle stays hash-identical.
+    No whole-language window anywhere."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    key = F.md5(F.col("doc_id").cast("string"))
+    d = documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        key.alias("mkey"),
+        F.substring(key, 1, 2).alias("bkt"),
+    )
+    if weights is None:
+        langs = [r["lang"] for r in documents.select("lang").distinct().collect()]
+        weights = {lang: 1.0 / len(langs) for lang in langs}
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    # bucket token totals → cumulative offsets (≤256 rows per lang, broadcast)
+    btok = d.groupBy("lang", "bkt").agg(F.sum("n_tokens").alias("bt"))
+    w_off = (
+        Window.partitionBy("lang").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btok.withColumn("toff", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
+    w_b = (
+        Window.partitionBy("lang", "bkt")
+        .orderBy("mkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        d.withColumn("local_before", F.coalesce(F.sum("n_tokens").over(w_b), F.lit(0)))
+        .join(F.broadcast(offsets.select("lang", "bkt", "toff")), ["lang", "bkt"])
+        .withColumn("tokens_before", F.col("toff") + F.col("local_before"))
+    )
+    target = F.round(wmap[F.col("lang")] * budget_tokens).cast("bigint")
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        target.alias("target_tokens"),
+        "tokens_before",
+        (F.col("tokens_before") < target).alias("keep"),
+    )

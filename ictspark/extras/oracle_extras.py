@@ -469,6 +469,30 @@ SELECT doc_id, r.lang, c.n_docs, (SELECT min_docs FROM mn) AS min_docs,
        rnk <= (SELECT min_docs FROM mn) AS keep
 FROM ranked r JOIN counts c ON r.lang = c.lang"""
 
+    # single-window ground truth for the two-phase token prefix sum; default
+    # weights = uniform over the languages present (the Spark default)
+    q["mixture_plan"] = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS mkey
+  FROM documents
+),
+nl AS (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         -- CAST: DuckDB's windowed SUM promotes to HUGEINT (→ float64 in
+         -- pandas); Spark stays BIGINT
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY mkey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM d
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(round((1.0 / (SELECT n_langs FROM nl)) * 50000) AS BIGINT) AS target_tokens,
+       tokens_before,
+       tokens_before < CAST(round((1.0 / (SELECT n_langs FROM nl)) * 50000) AS BIGINT) AS keep
+FROM c"""
+
     # sh_all (uncapped), not sh: the bench side is DISTINCT so the join is
     # linear regardless of shingle df — and mass contamination (a benchmark
     # shingle in >cap training docs) must stay visible (ADVICE r03)

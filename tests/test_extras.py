@@ -459,6 +459,41 @@ def test_pack_sequences_two_phase_and_semantics(docs, spark):
     assert "bkt" in m.group(1), m.group(1)
 
 
+def test_mixture_plan_budget_and_weights(docs):
+    """Token-budgeted mixture: per lang, the kept set's token total must
+    reach the target with at most ONE doc of overshoot (begin-boundary
+    contract), custom weights must shift the per-lang targets, and the
+    running sum must ride the (lang, bkt) bucketed window — never a
+    whole-language one."""
+    from ictspark.extras import curation
+
+    plan = curation.mixture_plan(docs, budget_tokens=2000).cache()
+    agg = (
+        plan.where("keep")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.max("target_tokens").alias("target"),
+            F.max(F.when(F.col("keep"), F.col("n_tokens"))).alias("max_doc"),
+        )
+        .collect()
+    )
+    assert len(agg) == 5
+    for r in agg:
+        assert r["kept_tokens"] >= r["target"]  # budget reached...
+        assert r["kept_tokens"] - r["max_doc"] < r["target"]  # ...≤1-doc overshoot
+    w = {"en": 0.8, "de": 0.05, "zh": 0.05, "fr": 0.05, "es": 0.05}
+    wplan = curation.mixture_plan(docs, budget_tokens=2000, weights=w)
+    t = {r["lang"]: r["target_tokens"] for r in wplan.select("lang", "target_tokens").distinct().collect()}
+    assert t["en"] == 1600 and t["de"] == 100
+    import re
+
+    p = plan._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"sum\(n_tokens.*?windowspecdefinition\(lang[^)]*\)", p)
+    assert m is not None and "bkt" in m.group(0), p
+    plan.unpersist()
+
+
 def test_tool_chain_stats_counts_transitions(spark, smoke_sf_dir):
     """Tool-chain mining: the (tool → next_tool) transition total must equal
     (tool calls − one per conv that has any call): each conv of k calls
