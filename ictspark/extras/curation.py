@@ -402,6 +402,8 @@ def mixture_plan(
     )
     if weights is None:
         langs = [r["lang"] for r in documents.select("lang").distinct().collect()]
+        if not langs:
+            raise ValueError("mixture_plan: documents table has no languages")
         weights = {lang: 1.0 / len(langs) for lang in langs}
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     # bucket token totals → cumulative offsets (≤256 rows per lang, broadcast)
@@ -420,7 +422,12 @@ def mixture_plan(
         .join(F.broadcast(offsets.select("lang", "bkt", "toff")), ["lang", "bkt"])
         .withColumn("tokens_before", F.col("toff") + F.col("local_before"))
     )
-    target = F.round(wmap[F.col("lang")] * budget_tokens).cast("bigint")
+    # a lang absent from an explicit weights dict gets target 0 → keep=False
+    # for every doc — NOT NULL, which would be invisible to BOTH keep and
+    # NOT-keep filters downstream (code-review r05)
+    target = F.coalesce(
+        F.round(wmap[F.col("lang")] * budget_tokens).cast("bigint"), F.lit(0)
+    )
     return cum.select(
         "doc_id",
         "lang",

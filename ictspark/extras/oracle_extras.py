@@ -13,6 +13,8 @@ from ictspark.extras.dedup import (
     SIMHASH_MAX_HAMMING,
     WINNOW_MIN_SHARED,
 )
+from ictspark.extras.curation import MIX_BUDGET_TOKENS, PACK_WINDOW
+from ictspark.extras.similarity import IVF_K, N_QUERIES, SEMANTIC_THRESHOLD
 from ictspark.extras.textstats import LANG_PROFILES, STOPWORDS, TOKEN_RE
 
 _TSF = "%Y-%m-%d %H:%M:%S"
@@ -471,7 +473,7 @@ FROM ranked r JOIN counts c ON r.lang = c.lang"""
 
     # single-window ground truth for the two-phase token prefix sum; default
     # weights = uniform over the languages present (the Spark default)
-    q["mixture_plan"] = """
+    q["mixture_plan"] = f"""
 WITH d AS (
   SELECT doc_id, lang,
          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
@@ -488,9 +490,9 @@ c AS (
   FROM d
 )
 SELECT doc_id, lang, n_tokens,
-       CAST(round((1.0 / (SELECT n_langs FROM nl)) * 50000) AS BIGINT) AS target_tokens,
+       CAST(round((1.0 / (SELECT n_langs FROM nl)) * {MIX_BUDGET_TOKENS}) AS BIGINT) AS target_tokens,
        tokens_before,
-       tokens_before < CAST(round((1.0 / (SELECT n_langs FROM nl)) * 50000) AS BIGINT) AS keep
+       tokens_before < CAST(round((1.0 / (SELECT n_langs FROM nl)) * {MIX_BUDGET_TOKENS}) AS BIGINT) AS keep
 FROM c"""
 
     # sh_all (uncapped), not sh: the bench side is DISTINCT so the join is
@@ -687,7 +689,7 @@ GROUP BY 1"""
     _SEM_ASSIGN = f"""{_NORM},
 cents AS (
   SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n
-  WHERE vec_id >= 10 AND vec_id < 26
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}
 ),
 scored AS (
   SELECT n.vec_id, n.v, n.norm, c.cent_id,
@@ -708,9 +710,9 @@ sempairs AS (
 
     q["semantic_dup_pairs"] = f"""
 WITH {_SEM_ASSIGN}
-SELECT cent_id, vec_a, vec_b, sim FROM sempairs WHERE sim >= 0.35"""
+SELECT cent_id, vec_a, vec_b, sim FROM sempairs WHERE sim >= {SEMANTIC_THRESHOLD}"""
 
-    q["pack_sequences"] = """
+    q["pack_sequences"] = f"""
 WITH d AS (
   SELECT doc_id, source,
          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
@@ -723,13 +725,13 @@ c AS (
   FROM d
 )
 SELECT doc_id, source, n_tokens,
-       CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
-       CAST(start - CAST(floor(start / 512.0) AS BIGINT) * 512 AS BIGINT) AS seq_off
+       CAST(floor(start / {float(PACK_WINDOW)}) AS BIGINT) AS seq_id,
+       CAST(start - CAST(floor(start / {float(PACK_WINDOW)}) AS BIGINT) * {PACK_WINDOW} AS BIGINT) AS seq_off
 FROM c"""
 
     q["semantic_keep_list"] = f"""
 WITH {_SEM_ASSIGN},
-dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sempairs WHERE sim >= 0.35)
+dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sempairs WHERE sim >= {SEMANTIC_THRESHOLD})
 SELECT a.vec_id, a.cent_id,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
 FROM assign a LEFT JOIN dropped d USING (vec_id)"""

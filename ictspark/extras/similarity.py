@@ -158,6 +158,10 @@ def ann_multiprobe(embeddings: DataFrame, k: int = 3) -> DataFrame:
 
 IVF_K = 16  # coarse centroids (fixed: vec_id in [N_QUERIES, N_QUERIES+K))
 IVF_NPROBE = 4
+# default cosine threshold for the semantic-dedup operators — shared with the
+# DuckDB oracle builder (oracle_extras) so a default change cannot silently
+# desync the two sides (the ADVICE r04 shared-constant rule)
+SEMANTIC_THRESHOLD = 0.35
 
 
 def _fixed_centroids(e: DataFrame, k: int = IVF_K) -> DataFrame:
@@ -546,7 +550,7 @@ def _semantic_centroids(
 
 def semantic_dup_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.35,
+    threshold: float = SEMANTIC_THRESHOLD,
     centroids: DataFrame | None = None,
     n_vectors: int | None = None,
     target_bucket: int = 1024,
@@ -574,7 +578,13 @@ def semantic_dup_pairs(
     balance/recall (reduction-order float means)."""
     e = _with_norm(embeddings)
     cents = _semantic_centroids(embeddings, e, centroids, n_vectors, target_bucket)
-    a = _cluster_assign(e, cents)
+    return _pairs_from_assign(_cluster_assign(e, cents), threshold)
+
+
+def _pairs_from_assign(a: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster cosine pairs over a precomputed assignment — shared by
+    semantic_dup_pairs and semantic_keep_list so the keep decision evaluates
+    the n×K assignment ONCE, not twice (code-review r05)."""
     lhs = a.select(
         F.col("cent_id"), F.col("vec_id").alias("vec_a"), F.col("v").alias("av"), F.col("norm").alias("an")
     )
@@ -593,7 +603,7 @@ def semantic_dup_pairs(
 
 def semantic_keep_list(
     embeddings: DataFrame,
-    threshold: float = 0.35,
+    threshold: float = SEMANTIC_THRESHOLD,
     centroids: DataFrame | None = None,
     n_vectors: int | None = None,
     target_bucket: int = 1024,
@@ -603,14 +613,14 @@ def semantic_keep_list(
     (the standard greedy lowest-id-survives rule — deterministic, one
     anti-join, no iteration; contrast curation.dedup_keep_list, which pays
     for full connected components on the text side). Output: every vec_id
-    with its cluster and keep flag. Centroids resolve ONCE (same auto-sizing
-    contract as semantic_dup_pairs) and feed both the assignment and the
-    pair set, so the two can never use different clusterings."""
+    with its cluster and keep flag. The assignment itself resolves ONCE and
+    feeds both the output rows and the pair set (one n×K scan, one
+    clustering — they cannot diverge)."""
     e = _with_norm(embeddings)
     cents = _semantic_centroids(embeddings, e, centroids, n_vectors, target_bucket)
     a = _cluster_assign(e, cents)
     dropped = (
-        semantic_dup_pairs(embeddings, threshold, cents)
+        _pairs_from_assign(a, threshold)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("keep", F.lit(0))

@@ -221,10 +221,13 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
 
     Plan (same skeleton as unigram_logprob): one doc-keyed window builds the
     bigram stream (lead over pos — the tokenization/ordering contract shared
-    with dedup.word_trigrams); the bigram and unigram frequency tables are
-    vocabulary-bounded groupBys, joined back with BROADCAST hints (bigram
-    keys are stopword-skewed like token keys); one map-side-combinable
-    groupBy(doc_id)."""
+    with dedup.word_trigrams); the UNIGRAM frequency table is
+    vocabulary-bounded and broadcast-hinted, but the BIGRAM table is NOT —
+    distinct (t1, t2) pairs grow with the corpus (vocab²-bounded, not
+    vocab-bounded), so forcing a broadcast would collect an unbounded table
+    to the driver at exactly the scale this engine targets (code-review
+    r05). Its join stays an AQE-decided hash join on the bigram key; both
+    aggs are map-side combinable."""
     toks = documents.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token")
     ).where(F.col("token") != "")
@@ -237,7 +240,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     )
     scored = (
         bg.select("doc_id", "token", "t2")
-        .join(F.broadcast(big), ["token", "t2"])
+        .join(big, ["token", "t2"])
         .join(F.broadcast(uni), "token")
         .crossJoin(F.broadcast(vocab))
     )

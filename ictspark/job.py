@@ -104,11 +104,14 @@ def _vanished_file_error(e: Exception) -> bool:
     FileNotFoundException cause (often with its 'underlying files have been
     updated' hint) or an analysis-time path-not-found."""
     s = str(e)
+    # anchored forms only: a bare "does not exist" also matches unresolved
+    # columns / missing tables — deterministic bugs that must NOT retry
+    # (code-review r05)
     return any(
         m in s
         for m in (
             "FileNotFoundException",
-            "does not exist",
+            "Path does not exist",
             "have been updated",
             "PATH_NOT_FOUND",
         )

@@ -232,7 +232,12 @@ def dedupe_stream_newest(
     AFTER retention re-admits even an OLDER copy as champion (the sink
     upsert keeps newest overall only within a retention window — exactly the
     reference's contract, where the 5 s overlap is the only re-push source).
-    ``retention_ms=None`` restores the unbounded NoTimeout behavior.
+    ``retention_ms=None`` restores the unbounded NoTimeout behavior. Note
+    the TTL is PROCESSING time, not event time: a backlogged replay whose
+    micro-batches sit further apart than the retention can expire live keys
+    mid-replay and re-admit older copies — for replay/backfill over
+    historical data, run the batch path (io.dedupe_transcripts), whose
+    newest-wins window is authoritative, or pass retention_ms=None.
 
     Drain caveat: under ProcessingTimeTimeout Spark schedules
     timeout-evaluation batches indefinitely, so an availableNow drain never
@@ -439,16 +444,25 @@ def run_until_idle(
         .start()
     )
     deadline = _time.time() + timeout_s
+    idle = False
     while _time.time() < deadline:
         prog = q.recentProgress
         rows = [
             p["numInputRows"] if isinstance(p, dict) else p.numInputRows for p in prog
         ]
         if len(rows) >= idle_batches and all(n == 0 for n in rows[-idle_batches:]):
+            idle = True
             break
         _time.sleep(0.25)
     q.stop()
     q.awaitTermination()
+    if not idle:
+        # a truncated drain must not masquerade as a complete one — the
+        # caller would assert dedupe semantics against partial output
+        # (code-review r05)
+        raise TimeoutError(
+            f"stream never went idle within {timeout_s}s ({len(out)} rows collected)"
+        )
     return out
 
 

@@ -486,6 +486,16 @@ def test_mixture_plan_budget_and_weights(docs):
     wplan = curation.mixture_plan(docs, budget_tokens=2000, weights=w)
     t = {r["lang"]: r["target_tokens"] for r in wplan.select("lang", "target_tokens").distinct().collect()}
     assert t["en"] == 1600 and t["de"] == 100
+    # a lang OMITTED from explicit weights gets target 0 / keep False — not
+    # NULL, which would vanish from both keep and NOT-keep filters
+    # (code-review r05)
+    part = curation.mixture_plan(docs, budget_tokens=2000, weights={"en": 1.0})
+    omitted = part.where(F.col("lang") != "en").cache()
+    assert omitted.where(F.col("keep").isNull() | F.col("target_tokens").isNull()).count() == 0
+    assert omitted.where("keep").count() == 0
+    n_omitted = omitted.count()
+    assert n_omitted > 0 and omitted.where("NOT keep").count() == n_omitted
+    omitted.unpersist()
     import re
 
     p = plan._jdf.queryExecution().optimizedPlan().toString()
