@@ -326,11 +326,16 @@ def pack_sequences(documents: DataFrame, window: int = PACK_WINDOW) -> DataFrame
     bucket by doc_id range (bucket order == ordering-key order, so the
     global prefix sum is exact): a local running sum within (source,
     bucket) rides a ≤PACK_BUCKET-row window, bucket totals aggregate
-    map-side, and the cumulative bucket offset joins back broadcast — the
-    offset table is n/PACK_BUCKET rows, the same reduced-cardinality window
-    class as the distinct-length table in length_percentiles. The DuckDB
-    oracle computes the single-window definition; parity proves the
-    two-phase form equal."""
+    map-side, and the cumulative bucket offset joins back. The offset table
+    is n/PACK_BUCKET rows — REDUCED cardinality, but still linear in the
+    corpus (~2.4e7 rows at 10¹¹ docs), so it is deliberately NOT
+    broadcast-hinted (ADVICE r05, the bigram_logprob rule: forcing a
+    corpus-growing table through the driver breaks at exactly the target
+    scale) — AQE broadcasts it while it is small and shuffle-joins it once
+    it is not; either way the join key (source, bkt) is the same
+    partitioning the window above already produced. The DuckDB oracle
+    computes the single-window definition; parity proves the two-phase form
+    equal."""
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     d = documents.select(
         "doc_id",
@@ -353,7 +358,7 @@ def pack_sequences(documents: DataFrame, window: int = PACK_WINDOW) -> DataFrame
     off = tot.select(
         "source", "bkt", F.coalesce(F.sum("bkt_tokens").over(w_off), F.lit(0)).alias("off")
     )
-    j = d.join(F.broadcast(off), ["source", "bkt"])
+    j = d.join(off, ["source", "bkt"])
     start = F.col("off") + F.col("local_start")
     seq_id = F.floor(start / window)
     return j.select(

@@ -97,25 +97,48 @@ def cmd_incremental(args: argparse.Namespace) -> None:
     )
 
 
-def _vanished_file_error(e: Exception) -> bool:
+def _vanished_file_error(e: BaseException) -> bool:
     """True iff the exception is the files-deleted-mid-read class (the only
     one the cmd_changes retry is meant for — ADVICE r04: a bare except also
-    retried genuine failures). Spark surfaces the race as a
-    FileNotFoundException cause (often with its 'underlying files have been
-    updated' hint) or an analysis-time path-not-found."""
-    s = str(e)
-    # anchored forms only: a bare "does not exist" also matches unresolved
-    # columns / missing tables — deterministic bugs that must NOT retry
-    # (code-review r05)
-    return any(
-        m in s
-        for m in (
-            "FileNotFoundException",
-            "Path does not exist",
-            "have been updated",
-            "PATH_NOT_FOUND",
-        )
-    )
+    retried genuine failures). Matched STRUCTURALLY, not by message
+    substrings (ADVICE r05: a free-text scan over the stringified cause
+    chain also caught deterministic failures whose message happened to embed
+    'Path does not exist'). Verified against this Spark build, the race
+    surfaces as exactly one of:
+    - resolution time: AnalysisException with error condition PATH_NOT_FOUND
+      (the whole input directory vanished before the scan was planned);
+    - execution time: a raw Py4JJavaError whose Java cause chain is
+      SparkException [FAILED_READ_FILE.FILE_NOT_EXIST] →
+      java.io.FileNotFoundException (a listed file deleted before its task
+      read it — Spark's 'underlying files have been updated' condition).
+    Both the PySpark error-condition accessors and the Java cause-chain walk
+    are bounded and exception-guarded; anything else returns False and the
+    caller re-raises."""
+    conds = ("PATH_NOT_FOUND", "FAILED_READ_FILE.FILE_NOT_EXIST")
+    exc: BaseException | None = e
+    for _ in range(8):
+        if exc is None:
+            break
+        for getter in ("getCondition", "getErrorClass"):
+            g = getattr(exc, getter, None)
+            if callable(g):
+                try:
+                    if (g() or "") in conds:
+                        return True
+                except Exception:
+                    pass
+        jt = getattr(exc, "java_exception", None) or getattr(exc, "_origin", None)
+        for _ in range(8):
+            if jt is None:
+                break
+            try:
+                if jt.getClass().getName() == "java.io.FileNotFoundException":
+                    return True
+                jt = jt.getCause()
+            except Exception:
+                break
+        exc = exc.__cause__
+    return False
 
 
 def cmd_changes(args: argparse.Namespace) -> None:

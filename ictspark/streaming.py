@@ -300,7 +300,7 @@ def dedupe_stream_newest(
             StructField("ts_us", LongType()),
         ]
     )
-    return t.groupBy("conv_id", "turn_idx").applyInPandasWithState(
+    out = t.groupBy("conv_id", "turn_idx").applyInPandasWithState(
         update,
         outputStructType=TRANSCRIPTS,
         stateStructType=state_schema,
@@ -311,6 +311,12 @@ def dedupe_stream_newest(
             else GroupStateTimeout.NoTimeout
         ),
     )
+    # breadcrumb for run_available_now (ADVICE r05): with a finite retention
+    # this stream never self-terminates under availableNow — the hazardous
+    # path is the NO-ARGS one, so the drain helper must be able to refuse it
+    # loudly instead of hanging until an outer timeout kills the test run
+    out._ictspark_processing_time_timeout = retention_ms is not None  # type: ignore[attr-defined]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -426,9 +432,15 @@ def run_until_idle(
     self-schedules timeout-evaluation batches forever, so the availableNow
     trigger never self-terminates (observed: batches keep running after the
     source is exhausted — that's the timeout machinery working as designed).
-    Run with a fast continuous trigger, wait until ``idle_batches``
-    consecutive batches saw zero input rows (source drained AND at least one
-    timeout-evaluation pass ran), then stop. Returns collected sink rows.
+    Run with a fast continuous trigger, wait until at least one batch has
+    PROCESSED input rows and ``idle_batches`` consecutive batches then saw
+    zero input (source drained AND at least one timeout-evaluation pass
+    ran), then stop. The data-batch precondition matters (ADVICE r05): a
+    slow file listing can commit two empty batches BEFORE discovery, and
+    without it a truncated drain would be returned as complete — the exact
+    failure mode the TimeoutError below guards. A genuinely empty source
+    therefore times out rather than returning []; these drains are only ever
+    run against fixtures known to contain rows. Returns collected sink rows.
 
     The sink is foreachBatch collecting on the driver (not the memory sink:
     that one refuses checkpoint RECOVERY, and the retention tests restart
@@ -450,7 +462,11 @@ def run_until_idle(
         rows = [
             p["numInputRows"] if isinstance(p, dict) else p.numInputRows for p in prog
         ]
-        if len(rows) >= idle_batches and all(n == 0 for n in rows[-idle_batches:]):
+        if (
+            any(n > 0 for n in rows)
+            and len(rows) >= idle_batches
+            and all(n == 0 for n in rows[-idle_batches:])
+        ):
             idle = True
             break
         _time.sleep(0.25)
@@ -468,7 +484,22 @@ def run_until_idle(
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str) -> list:
     """Drain the stream with the availableNow trigger into an in-memory sink;
-    returns collected rows. Used by tests and the parity harness."""
+    returns collected rows. Used by tests and the parity harness.
+
+    Refuses a stream built with a ProcessingTimeTimeout operator (ADVICE
+    r05): such a query schedules timeout-evaluation batches forever, so this
+    trigger never self-terminates — the default (finite-retention)
+    ``dedupe_stream_newest`` is exactly that stream, and draining it here
+    would hang until an outer timeout. Use ``run_until_idle`` (tests) or a
+    continuous trigger (deployment); pass ``retention_ms=None`` only for a
+    batch-replay/backfill drain, where processing-time expiry would re-admit
+    old duplicates anyway and unbounded state is the correct trade."""
+    if getattr(stream_df, "_ictspark_processing_time_timeout", False):
+        raise ValueError(
+            "run_available_now cannot drain a ProcessingTimeTimeout stream "
+            "(it never self-terminates under availableNow): use "
+            "run_until_idle / a continuous trigger, or retention_ms=None"
+        )
     name = "ictspark_stream_sink"
     q = (
         stream_df.writeStream.format("memory")

@@ -174,3 +174,43 @@ def test_job_incremental_poll_loop(spark, smoke_sf_dir, capsys):
         assert c2 == []  # idle poll: open day unchanged, nothing rewritten
         # stable shape: partitions_processed is always a flat list of days
         assert rep["partitions_processed"] == sorted(c1)
+
+
+def test_vanished_file_classifier_structural(spark, tmp_path):
+    """ADVICE r05: the cmd_changes retry classifier must match on exception
+    STRUCTURE (Spark error condition / Java cause class), so (a) both real
+    vanished-file surfaces classify True, and (b) a deterministic failure
+    whose MESSAGE embeds the old substrings classifies False (no wasted
+    retry of a genuine bug)."""
+    import shutil
+
+    # execution-time race: files deleted between lazy read and action
+    p = str(tmp_path / "vanish")
+    spark.range(50).write.parquet(p)
+    df = spark.read.parquet(p)
+    shutil.rmtree(p)
+    try:
+        df.count()
+        raise AssertionError("expected the read to fail")
+    except Exception as e:  # noqa: BLE001 — the raw surface is what we classify
+        assert job._vanished_file_error(e)
+
+    # resolution-time: the whole path is gone before planning
+    try:
+        spark.read.parquet(str(tmp_path / "never_existed")).count()
+        raise AssertionError("expected the read to fail")
+    except Exception as e:  # noqa: BLE001
+        assert job._vanished_file_error(e)
+
+    # deterministic failures whose text embeds the old substrings must NOT
+    # classify (the exact false-positive the structural match closes)
+    assert not job._vanished_file_error(
+        RuntimeError("user table 'Path does not exist' have been updated")
+    )
+    # unresolved column: a deterministic AnalysisException, different condition
+    t = spark.range(5)
+    try:
+        t.select("no_such_column").collect()
+        raise AssertionError("expected the select to fail")
+    except Exception as e:  # noqa: BLE001
+        assert not job._vanished_file_error(e)

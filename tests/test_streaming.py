@@ -340,3 +340,27 @@ def test_sessionize_stream_equals_batch_session_windows(spark, tmp_path):
         median_start = emitted_starts[len(emitted_starts) // 2]
         assert all(s >= median_start for _, s in missing), (missing, median_start)
         assert len(missing) < len(exp) * 0.2
+
+
+def test_available_now_refuses_processing_time_timeout_stream(spark, tmp_path):
+    """ADVICE r05: the hazardous no-args configuration — dedupe_stream_newest
+    (finite default retention → ProcessingTimeTimeout) drained via
+    run_available_now — never self-terminates; it must be refused loudly up
+    front, not hang until an outer timeout. retention_ms=None (NoTimeout)
+    remains availableNow-compatible and is NOT refused."""
+    import datetime as dt
+
+    from ictspark.schema import TRANSCRIPTS
+
+    src = str(tmp_path / "guard_src")
+    spark.createDataFrame(
+        [("c0", 0, "user", "x", None, dt.datetime(2024, 3, 1))], TRANSCRIPTS
+    ).write.parquet(src)
+    s = spark.readStream.schema(TRANSCRIPTS).parquet(src)
+    dd = streaming.dedupe_stream_newest(s)  # the no-args default path
+    with pytest.raises(ValueError, match="ProcessingTimeTimeout"):
+        streaming.run_available_now(dd, str(tmp_path / "ck0"), output_mode="update")
+    # the unbounded-state variant still drains (and yields the one row)
+    dd_none = streaming.dedupe_stream_newest(s, retention_ms=None)
+    rows = streaming.run_available_now(dd_none, str(tmp_path / "ck1"), output_mode="update")
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("c0", 0)]
