@@ -98,34 +98,180 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2) -> DataFra
     return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-N_MINHASH = 12
-LSH_BANDS = 4  # rows per band = N_MINHASH / LSH_BANDS = 3
+N_MINHASH = 12  # demo/fixture signature size (explicit path only — see below)
+LSH_BANDS = 4  # demo band count; rows per band = N_MINHASH / LSH_BANDS = 3
+LSH_R = N_MINHASH // LSH_BANDS
+LSH_THRESHOLD = 0.2  # default est-Jaccard threshold — shared with the oracle
+AUTO_MAX_K = 64  # signature-size budget the auto sizer trades precision under
+AUTO_MAX_BANDS = 512  # sanity rail: below ~0.02 Jaccard the recall formula
+# demands thousands of bands — raise instead of silently building that plan
+
+
+def minhash_bands_for(threshold: float, r: int = LSH_R, target_recall: float = 0.999) -> int:
+    """Bands needed so a pair at EXACTLY ``threshold`` Jaccard is caught with
+    probability ≥ target_recall under the LSH OR-construction (VERDICT r05
+    item 5 — the MinHash mirror of ``similarity.srp_bands_for``):
+
+        recall = 1 - (1 - j^r)^bands,   j = threshold
+
+    (j^r = probability all ``r`` minhashes of one band agree, since each
+    minhash collides with probability equal to the Jaccard). Pairs above the
+    threshold have higher j, so this bounds the whole result set. Note the
+    asymmetry with SRP: the per-hash collision probability here is j ITSELF
+    (not 1-θ/π), so LOW thresholds are intrinsically expensive — j=0.2, r=3
+    needs ~860 bands for 0.999 recall, which is why the auto sizer drops r
+    when the threshold is low and why production near-dup thresholds (≥0.5)
+    keep band counts modest."""
+    import math
+
+    q = min(max(threshold, 0.0) ** r, 1.0 - 1e-12)
+    q = max(q, 1e-12)  # threshold 0 → finite (astronomical) answer, no domain error
+    target_recall = min(target_recall, 1.0 - 1e-12)
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
+
+
+def minhash_rows_for(
+    threshold: float, max_k: int = AUTO_MAX_K, target_recall: float = 0.999
+) -> int:
+    """Rows-per-band (r) for the auto sizer: the LARGEST r whose recall-sized
+    signature k = r × bands_for(threshold, r) fits the ``max_k`` budget —
+    larger r makes each band more selective (a band matches only on r
+    simultaneous hash collisions, so the background candidate rate falls as
+    j_bg^r), which is the precision/occupancy side of the trade; the bands
+    formula then buys recall back. Low thresholds force r down to 1 (j^r
+    collapses too fast to afford the bands otherwise); r=1 banding stays
+    occupancy-bounded because a minhash VALUE is owned by one shingle, so a
+    bucket's size is capped by the shingle df-cap (MAX_SHINGLE_DF), the same
+    bound the shingle equi-joins rely on."""
+    best = 1
+    for r in range(1, 9):
+        if r * minhash_bands_for(threshold, r, target_recall) <= max_k:
+            best = r
+    return best
+
+
+# Auto-sized constants at the default threshold — interpolated by BOTH the
+# no-kwargs Spark path and the DuckDB oracle builder (oracle_extras), the
+# shared-constant rule: r=1 / 42 bands / k=42 at threshold 0.2, recall 0.9999.
+def _auto_lsh_params() -> tuple[int, int, int]:
+    from ictspark.extras.similarity import AUTO_TARGET_RECALL
+
+    r = minhash_rows_for(LSH_THRESHOLD, AUTO_MAX_K, AUTO_TARGET_RECALL)
+    bands = minhash_bands_for(LSH_THRESHOLD, r, AUTO_TARGET_RECALL)
+    return r, bands, r * bands
+
+
+LSH_R_AUTO, LSH_BANDS_AUTO, N_MINHASH_AUTO = _auto_lsh_params()
+
+
+MH_PRIME = 2_147_483_647  # 2^31 - 1 — the permutation modulus (Mersenne)
+_MH_HALF_MASK = (1 << 30) - 1
+
+
+def mh_coeffs(k: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) coefficients for the k MinHash permutations —
+    md5-derived (no RNG, reproducible across engines/runs), a and b forced
+    odd/nonzero. Shared with the oracle builder (oracle_extras interpolates
+    the same values), the shared-constant rule."""
+    import hashlib
+
+    def c(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % MH_PRIME
+
+    return [(c(f"mh-a{i}") | 1, c(f"mh-b{i}") | 1, c(f"mh-c{i}")) for i in range(k)]
 
 
 def minhash_signatures(documents: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """k MinHash values per doc: lexicographic min of salted md5(shingle)."""
+    """k MinHash values per doc (BIGINT): min over shingles of k linear
+    permutations of ONE md5 digest,
+
+        v  = first 60 bits of md5(shingle);  hi, lo = v's 30-bit halves
+        mh_i = (a_i·hi + b_i·lo + c_i) mod (2^31 - 1)
+
+    r06 rework of the former per-permutation salted-md5 form (min of
+    md5(shingle || '#i') strings): k md5 computations per shingle row and k
+    32-char string min-aggs dominated the auto-sized path (k=42 → 10.3 s of
+    a 12 s sf0.1 run). One md5 + k integer multiply-add-mods is the standard
+    minwise family (2-universal over the digest halves; all intermediates
+    < 2^62, no overflow in either engine) and the min-agg compares BIGINTs.
+    The per-shingle saving scales with corpus size. The hex parse is
+    engine-portable: Spark conv(hex, 16, 10), DuckDB CAST('0x…' AS BIGINT).
+    """
     sh = shingles(documents)
+    v = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+    hv = sh.select(
+        "doc_id",
+        F.shiftright(v, 30).alias("hi"),
+        v.bitwiseAND(F.lit(_MH_HALF_MASK)).alias("lo"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min(
+            (F.lit(a) * F.col("hi") + F.lit(b) * F.col("lo") + F.lit(c)) % F.lit(MH_PRIME)
+        ).alias(f"mh{i}")
+        for i, (a, b, c) in enumerate(mh_coeffs(k))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hv.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, k: int = N_MINHASH, bands: int = LSH_BANDS, threshold: float = 0.2
+    documents: DataFrame,
+    k: int | None = None,
+    bands: int | None = None,
+    threshold: float = LSH_THRESHOLD,
 ) -> DataFrame:
     """MinHash+LSH near-dup: band bucket-join for candidates (the scale path —
-    no cross join), then estimated Jaccard = matching-minhash fraction."""
+    no cross join), then estimated Jaccard = matching-minhash fraction.
+
+    Sizing (r06 — the SRP default-path contract, VERDICT r05 item 5): with
+    neither ``k`` nor ``bands`` given, both derive from ``threshold``: r =
+    ``minhash_rows_for`` (precision under the AUTO_MAX_K budget), bands =
+    ``minhash_bands_for`` at recall ≥ AUTO_TARGET_RECALL, k = r × bands. A
+    caller who changes ``threshold`` alone therefore gets a plan whose
+    recall FOLLOWS the threshold — the silent-recall-drop gap the SRP sizers
+    closed in r03-r05. At the default threshold 0.2 the derivation lands on
+    r=1 / 42 bands / k=42: single-hash bands, whose buckets are bounded by
+    the shingle df-cap, and — because any pair with est_jaccard ≥ threshold
+    must share ≥ ⌈θk⌉ ≥ 1 minhash — the banded result now equals the
+    brute-force est-threshold definition EXACTLY, not just probabilistically.
+    The demo/fixture constants (k=12, bands=4) are reachable only by passing
+    BOTH explicitly; passing exactly one raises (there is no principled way
+    to derive the other from it, and falling back to a demo constant is the
+    foot-gun this contract exists to close). Thresholds low enough to demand
+    > AUTO_MAX_BANDS bands raise rather than silently building an
+    astronomical plan. Gated by test_minhash_auto_sizing_default and
+    test_minhash_recall_at_production_threshold."""
+    if (k is None) != (bands is None):
+        raise ValueError(
+            "minhash_lsh_pairs: pass BOTH k and bands (explicit/demo path) or "
+            "NEITHER (auto-sized from threshold) — one alone would silently "
+            "fall back to a fixture constant"
+        )
+    if k is None:
+        from ictspark.extras.similarity import AUTO_TARGET_RECALL
+
+        r = minhash_rows_for(threshold, AUTO_MAX_K, AUTO_TARGET_RECALL)
+        bands = minhash_bands_for(threshold, r, AUTO_TARGET_RECALL)
+        if bands > AUTO_MAX_BANDS:
+            raise ValueError(
+                f"minhash_lsh_pairs: threshold={threshold} needs {bands} bands "
+                f"for recall {AUTO_TARGET_RECALL} — pass explicit (k, bands) "
+                "if this cost is really intended"
+            )
+        k = r * bands
     r = k // bands
     sig = minhash_signatures(documents, k)
-    buckets = None
-    for band in range(bands):
-        cols = [f"mh{i}" for i in range(band * r, (band + 1) * r)]
-        part = sig.select(
-            "doc_id", F.lit(band).alias("band"), F.concat_ws("|", *cols).alias("bkey")
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+    # ONE posexplode pass over the signature frame, not a bands-way union of
+    # selects (r06): each union branch replayed the whole signature
+    # aggregation — 42 auto-sized bands made that 42 shingle-groupBy jobs
+    # where one suffices (observed 23 s → ~5 s at sf0.1). posexplode keeps
+    # the same (doc_id, band, bkey) rows from a single scan of sig.
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh{i}") for i in range(b * r, (b + 1) * r)])
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -6,9 +6,10 @@ views in the driver's DuckDB; media/transcripts are read by absolute path.
 from __future__ import annotations
 
 from ictspark.extras.dedup import (
-    LSH_BANDS,
+    LSH_R_AUTO,
+    LSH_THRESHOLD,
     MAX_SHINGLE_DF,
-    N_MINHASH,
+    N_MINHASH_AUTO,
     N_SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
     WINNOW_MIN_SHARED,
@@ -48,10 +49,23 @@ sh AS (
 
 
 def _minhash_sig() -> str:
+    # AUTO constants (r06): the graded no-kwargs Spark path derives
+    # r/bands/k from LSH_THRESHOLD (dedup.minhash_rows_for/_bands_for) and
+    # hashes via dedup.mh_coeffs' linear permutations of one md5 digest, so
+    # the oracle interpolates the SAME derived values and coefficients — a
+    # sizing or hash-family change on either side desyncs parity loudly
+    from ictspark.extras.dedup import MH_PRIME, mh_coeffs
+
     cols = ", ".join(
-        f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(N_MINHASH)
+        f"min(({a} * hi + {b} * lo + {c}) % {MH_PRIME}) AS mh{i}"
+        for i, (a, b, c) in enumerate(mh_coeffs(N_MINHASH_AUTO))
     )
-    return f"sig AS (SELECT doc_id, {cols} FROM sh GROUP BY 1)"
+    return f"""hv AS (
+  SELECT doc_id, v >> 30 AS hi, v & 1073741823 AS lo FROM (
+    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS v FROM sh
+  )
+),
+sig AS (SELECT doc_id, {cols} FROM hv GROUP BY 1)"""
 
 
 def _simhash_sig() -> str:
@@ -77,29 +91,26 @@ sig AS (SELECT doc_id, CAST({hi} AS BIGINT) AS sim_hi, CAST({lo} AS BIGINT) AS s
 
 
 def _minhash_pairs_ctes() -> str:
-    """CTEs buckets/cand/scored producing MinHash-LSH candidate pairs with
-    est_jaccard (shared by minhash_lsh_pairs and dedup_components)."""
-    r = N_MINHASH // LSH_BANDS
-    band_sel = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
-            b=b, key=" || '|' || ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
-        )
-        for b in range(LSH_BANDS)
+    """CTE `scored`: est_jaccard for ALL doc pairs — the BRUTE-FORCE
+    definition (r06, the SRP/simhash-oracle standard): with the auto sizer's
+    r=1 single-hash bands, any pair with est ≥ θ > 0 shares ≥ ⌈θk⌉ ≥ 1
+    minhash and is therefore a banded candidate, so the Spark LSH path must
+    EQUAL the est-threshold-over-all-pairs definition — which is exactly
+    what this oracle now states, independently of the banding algorithm.
+    (The former oracle reproduced the banded candidate generation itself —
+    same-algorithm-both-sides proves less.) Shared by minhash_lsh_pairs and
+    the dedup_components/keep_list recursive ground truth."""
+    assert LSH_R_AUTO == 1, (
+        "brute oracle == banded path only holds for single-hash bands; "
+        f"auto sizer moved to r={LSH_R_AUTO} — restate the oracle"
     )
-    est = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))
-    return f"""buckets AS (
-  {band_sel}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
-scored AS (
-  SELECT doc_a, doc_b, ROUND(({est}) / {float(N_MINHASH)}, 4) AS est_jaccard
-  FROM cand
-  JOIN sig sa ON doc_a = sa.doc_id
-  JOIN sig sb ON doc_b = sb.doc_id
+    est = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH_AUTO)
+    )
+    return f"""scored AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+         ROUND(({est}) / {float(N_MINHASH_AUTO)}, 4) AS est_jaccard
+  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
 )"""
 
 
@@ -239,7 +250,7 @@ WHERE ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) >= 0.2"""
 WITH {_SHINGLES},
 {_minhash_sig()},
 {_minhash_pairs_ctes()}
-SELECT * FROM scored WHERE est_jaccard >= 0.2"""
+SELECT * FROM scored WHERE est_jaccard >= {LSH_THRESHOLD}"""
 
     q["simhash_pairs"] = f"""
 WITH {_TOKS},
@@ -434,7 +445,7 @@ FROM (
 WITH RECURSIVE {_SHINGLES},
 {_minhash_sig()},
 {_minhash_pairs_ctes()},
-e0 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.2),
+e0 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= {LSH_THRESHOLD}),
 edges AS (SELECT doc_a, doc_b FROM e0 UNION SELECT doc_b, doc_a FROM e0),
 reach AS (
   SELECT doc_id AS doc, doc_id AS r FROM documents
@@ -447,7 +458,7 @@ SELECT doc AS doc_id, MIN(r) AS component FROM reach GROUP BY 1"""
 WITH RECURSIVE {_SHINGLES},
 {_minhash_sig()},
 {_minhash_pairs_ctes()},
-e0 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.2),
+e0 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= {LSH_THRESHOLD}),
 edges AS (SELECT doc_a, doc_b FROM e0 UNION SELECT doc_b, doc_a FROM e0),
 reach AS (
   SELECT doc_id AS doc, doc_id AS r FROM documents

@@ -319,6 +319,105 @@ def dedupe_stream_newest(
     return out
 
 
+def dedupe_stream_newest_eventtime(
+    transcripts: DataFrame,
+    watermark: str = "10 minutes",
+    retention_ms: int = 600_000,
+) -> DataFrame:
+    """Newest-wins dedupe with EVENT-time state expiry (VERDICT r05 item 6):
+    the replay-safe variant of ``dedupe_stream_newest``. The processing-time
+    TTL there makes replay/backfill diverge from the batch path — a
+    backlogged replay whose micro-batches sit further apart than the
+    retention expires live keys mid-replay and re-admits OLDER copies. Here
+    expiry is anchored to the data's own clock instead:
+
+    - state for a key times out when the event-time WATERMARK passes
+      champion_ts + retention (``setTimeoutTimestamp``), so wall-clock gaps
+      between micro-batches cannot expire anything;
+    - rows older than the current watermark are dropped inside the operator
+      (``getCurrentWatermarkMs`` — applyInPandasWithState does NOT
+      auto-filter late input). This is what closes the re-admission hole:
+      once a key expired, the watermark is ≥ champion_ts + retention, so any
+      re-delivered copy (ts ≤ champion_ts) is necessarily late and is
+      dropped — an expired key can NEVER be re-admitted by replayed data,
+      and the sink's max-ts-per-key reduction equals the batch
+      ``io.dedupe_transcripts`` under arbitrary shuffled + replayed
+      delivery (test_dedupe_stream_eventtime_replay_parity).
+
+    Documented divergence: rows with a NULL ``ts`` have no event time, so an
+    event-time-governed operator drops them once the watermark has advanced
+    past zero; the batch path (which admits a null-ts row only when it is
+    the key's sole copy) stays authoritative for those. State stays one
+    narrow row per ACTIVE key, as in the processing-time variant, but
+    "active" is measured in event time — exactly the bound a historical
+    backfill wants, since replayed days expire by data progress, not by how
+    fast the executors chew through them. EventTimeTimeout fires on
+    watermark advancement (a data-driven event), so availableNow drains
+    self-terminate — this variant needs no ``run_until_idle``."""
+    t = transcripts.withColumn("ts", F.col("ts").cast(TimestampType())).withWatermark(
+        "ts", watermark
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        best = state.get if state.exists else None  # (role, text, tool, ts_us)
+        improved = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = pd.to_datetime(pdf["ts"])
+            us = ((ts - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).where(
+                ~ts.isna(), -1
+            )
+            live = us[us >= wm_us] if wm_us > 0 else us
+            if len(live) == 0:
+                continue
+            i = live.idxmax()
+            if best is None or int(us[i]) > best[3]:
+                best = (pdf["role"][i], pdf["text"][i], pdf["tool"][i], int(us[i]))
+                improved = True
+        if improved:
+            state.update(best)
+        if state.exists:
+            champ_ms = max(best[3] // 1000, 0)
+            # must be strictly beyond the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+                max(champ_ms + retention_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if improved:
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "turn_idx": [key[1]],
+                    "role": [best[0]],
+                    "text": [best[1]],
+                    "tool": [best[2]],
+                    "ts": [pd.Timestamp(best[3], unit="us") if best[3] >= 0 else None],
+                }
+            )
+
+    state_schema = StructType(
+        [
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    return t.groupBy("conv_id", "turn_idx").applyInPandasWithState(
+        update,
+        outputStructType=TRANSCRIPTS,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # T5 in anger: the run-grain YIELD aggregate as a streaming query.
 # The reference's AutoUpdate keeps per-logfile records in memory and calls
