@@ -364,3 +364,89 @@ def test_available_now_refuses_processing_time_timeout_stream(spark, tmp_path):
     dd_none = streaming.dedupe_stream_newest(s, retention_ms=None)
     rows = streaming.run_available_now(dd_none, str(tmp_path / "ck1"), output_mode="update")
     assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("c0", 0)]
+
+
+def test_dedupe_stream_eventtime_replay_parity(spark, tmp_path):
+    """VERDICT r05 item 6: the EVENT-time dedupe variant must converge to the
+    batch io.dedupe_transcripts under shuffled AND replayed delivery — the
+    exact setting where the processing-time TTL diverges (state expiry
+    between backlogged micro-batches re-admits older copies). Delivery is
+    shuffled WITHIN each time phase with ordered phases (disorder bounded by
+    the 40 min watermark — the watermark contract every event-time operator
+    carries; unbounded disorder is the batch path's job). Drain 1: equals
+    batch after the max-ts upsert reduction, across micro-batches whose
+    watermark EXPIRES the v1-only and early-v2 keys (retention 10 min ≪ the
+    2 h span). Drain 2: the ENTIRE dataset re-delivered (replay) through the
+    same checkpoint emits NOTHING — live keys keep their incumbents, and
+    every copy an expired key could re-admit is below the persisted
+    watermark, which the operator drops; under the processing-time variant
+    this same replay re-emits (that divergence is documented there)."""
+    import datetime as dt
+    import shutil
+
+    from ictspark.schema import TRANSCRIPTS
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    phases = [[], [], []]
+    for i in range(40):
+        phases[0].append((f"c{i}", 0, "user", f"v1 {i}", None, base + dt.timedelta(minutes=i)))
+    for i in range(25):
+        phases[1].append((f"c{i}", 0, "user", f"v2 {i}", None, base + dt.timedelta(hours=1, minutes=i)))
+    for i in range(10):
+        phases[2].append((f"c{i}", 0, "user", f"v3 {i}", None, base + dt.timedelta(hours=2, minutes=i)))
+    rows = [r for p in phases for r in p]
+    df = spark.createDataFrame(rows, TRANSCRIPTS)
+    src = str(tmp_path / "et_src")
+    ck = str(tmp_path / "et_ck")
+    os.makedirs(src)
+    for pi, prows in enumerate(phases):  # 2 shuffled files per phase, phases ordered
+        pdf = spark.createDataFrame(prows, TRANSCRIPTS).orderBy(F.md5("text"))
+        tmp = str(tmp_path / f"stage{pi}")
+        pdf.repartition(2).write.parquet(tmp)
+        for fi, part in enumerate(sorted(p for p in os.listdir(tmp) if p.endswith(".parquet"))):
+            shutil.copy(os.path.join(tmp, part), os.path.join(src, f"p{pi}-{fi}.parquet"))
+
+    def drain() -> list:
+        s = spark.readStream.schema(TRANSCRIPTS).option("maxFilesPerTrigger", 1).parquet(src)
+        dd = streaming.dedupe_stream_newest_eventtime(
+            s, watermark="40 minutes", retention_ms=600_000
+        )
+        # foreachBatch collector, not the memory sink (which refuses
+        # checkpoint RECOVERY — drain 2 restarts the same checkpoint); the
+        # availableNow trigger itself self-terminates under EventTimeTimeout,
+        # which is part of what this variant promises
+        out: list = []
+        q = (
+            dd.writeStream.foreachBatch(lambda bdf, _eid: out.extend(bdf.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    emitted = drain()
+    final = {}
+    for r in emitted:
+        k = (r["conv_id"], r["turn_idx"])
+        if k not in final or r["ts"] > final[k]["ts"]:
+            final[k] = r
+    got = {
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in final.values()
+    }
+    exp = {
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in io.dedupe_transcripts(df).collect()
+    }
+    assert got == exp
+    # superseded champions really were re-emitted along the way (the upsert
+    # reduction had work to do), so drain 1 exercised champion replacement
+    assert len(emitted) > len(final)
+    # replay: re-deliver every file under new names through the SAME checkpoint
+    for i, p in enumerate(sorted(os.listdir(src))):
+        if p.endswith(".parquet"):
+            shutil.copy(os.path.join(src, p), os.path.join(src, f"replay-{i}.parquet"))
+    replay_emits = drain()
+    assert replay_emits == [], f"replay re-emitted {len(replay_emits)} rows"
