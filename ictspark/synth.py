@@ -453,3 +453,54 @@ def ensure_documents(sf_name: str) -> str:
     with open(meta_path, "w") as f:
         json.dump({"docs_version": DOCS_VERSION, "rows": n}, f)
     return out
+
+
+EMB_VERSION = 1
+EMB_DIM = 64
+N_EMB = {"sf1": 20_000}  # > IVF_K × 1024, so the semantic auto-sizing trigger BINDS
+N_EMB_LABELS = 10
+EMB_NEAR_DUP_EVERY = 40  # vec_id i ≡ 0 (mod 40), i ≥ 1000 → near-dup of i-1
+
+
+def ensure_embeddings(sf_name: str) -> str:
+    """Deterministic `embeddings` table for scale tiers the driver testdata
+    does not provide (testdata ships embeddings only to sf0.1 / 2 000 rows;
+    the r06 semantic-dedup proof needs a tier ABOVE the auto-sizing trigger
+    n > IVF_K·target_bucket — VERDICT r05 item 1). Same schema as testdata
+    embeddings (vec_id, embedding array<float>, label int; 64 dims, 10
+    labels) and a similar similarity profile: weak label structure (mean
+    intra-label cosine ≈ 0.05, so threshold-0.35 pair sets stay a planted
+    minority, not all-pairs) plus planted near-dup pairs (~0.9 cosine, one
+    every EMB_NEAR_DUP_EVERY ids past the centroid-seed range) for recall
+    checks. Pure function of (sf_name, EMB_VERSION)."""
+    out = os.path.join(SYNTH_ROOT, sf_name)
+    os.makedirs(out, exist_ok=True)
+    meta_path = os.path.join(out, "_emb_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("emb_version") == EMB_VERSION:
+                return out
+    n = N_EMB[sf_name]
+    rng = np.random.default_rng(zlib.crc32(f"emb-{sf_name}-v{EMB_VERSION}".encode()))
+    centers = rng.standard_normal((N_EMB_LABELS, EMB_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n) % N_EMB_LABELS
+    vecs = 0.1 * centers[labels] + 0.1 * rng.standard_normal((n, EMB_DIM))
+    # planted near-dups: small perturbation of the previous vector (cos ≈ 0.9);
+    # start past the fixed/trained centroid seed ids so seeds stay distinct
+    for i in range(1000, n, EMB_NEAR_DUP_EVERY):
+        vecs[i] = vecs[i - 1] + 0.035 * rng.standard_normal(EMB_DIM)
+        labels[i] = labels[i - 1]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
+    with open(meta_path, "w") as f:
+        json.dump({"emb_version": EMB_VERSION, "rows": n}, f)
+    return out
