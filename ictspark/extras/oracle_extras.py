@@ -747,4 +747,160 @@ SELECT a.vec_id, a.cent_id,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
 FROM assign a LEFT JOIN dropped d USING (vec_id)"""
 
+    # ---------------- composed curation pipeline (VERDICT r05 item 2) -------
+    # One CTE chain restating every stage of curation.curate_pipeline over the
+    # SURVIVORS of the previous stage — quality → exact dedup → near-dup
+    # components (WITH RECURSIVE ground truth over the stage-3 corpus) →
+    # contamination → token-budget mixture → sequence packing. The chain is
+    # what the oracle proves: drop reasons partition the corpus (disjoint by
+    # stage construction) and packing sees only kept docs.
+    from ictspark.extras.curation import (
+        BENCHMARK_MAX_ID,
+        CURATE_BUDGET_TOKENS,
+        QUALITY_MIN,
+    )
+    from ictspark.extras.dedup import MH_PRIME, mh_coeffs
+
+    _mh_cols = ", ".join(
+        f"min(({a} * hi + {b} * lo + {c}) % {MH_PRIME}) AS mh{i}"
+        for i, (a, b, c) in enumerate(mh_coeffs(N_MINHASH_AUTO))
+    )
+    _est3 = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH_AUTO)
+    )
+
+    def _trigram_ctes(src: str, pfx: str) -> str:
+        """tokens + word-trigram shingles over table ``src`` (uncapped:
+        {pfx}_all; df-capped within ``src``: {pfx})."""
+        return f"""{pfx}_t AS (
+  SELECT doc_id, pos, token FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM {src}
+  ) WHERE token <> ''
+),
+{pfx}_all AS (
+  SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM {pfx}_t
+  ) WHERE t2 IS NOT NULL
+),
+{pfx} AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM {pfx}_all
+  ) WHERE df <= {MAX_SHINGLE_DF}
+)"""
+
+    _mix_target = (
+        f"CAST(round((1.0 / (SELECT n_langs FROM nl5)) * {CURATE_BUDGET_TOKENS}) AS BIGINT)"
+    )
+    q["curation_manifest"] = f"""
+WITH RECURSIVE
+ntok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+qt AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+qagg AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+         CAST(SUM(CASE WHEN token IN ({sw}) THEN 1 ELSE 0 END) AS BIGINT) AS swc
+  FROM qt GROUP BY 1
+),
+qual AS (
+  SELECT d.doc_id,
+         ROUND(least(a.n_toks / 50.0, 1.0) * 0.5
+               + CASE WHEN a.swc * 1.0 / a.n_toks > 0.01 AND a.swc * 1.0 / a.n_toks < 0.6 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN length(d.text) * 1.0 / a.n_toks > 3 AND length(d.text) * 1.0 / a.n_toks < 12 THEN 0.2 ELSE 0.0 END,
+               4) AS quality
+  FROM documents d JOIN qagg a USING (doc_id)
+),
+s2 AS (
+  SELECT d.* FROM documents d JOIN qual USING (doc_id)
+  WHERE doc_id >= {BENCHMARK_MAX_ID} AND quality >= {QUALITY_MIN}
+),
+ex AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM s2),
+exk AS (SELECT fp, MIN(doc_id) AS keeper FROM ex GROUP BY 1),
+s3 AS (
+  SELECT s2.* FROM s2 JOIN ex ON s2.doc_id = ex.doc_id
+  JOIN exk ON ex.fp = exk.fp WHERE s2.doc_id = exk.keeper
+),
+{_trigram_ctes("s3", "sh3")},
+hv3 AS (
+  SELECT doc_id, v >> 30 AS hi, v & 1073741823 AS lo FROM (
+    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS v FROM sh3
+  )
+),
+sig3 AS (SELECT doc_id, {_mh_cols} FROM hv3 GROUP BY 1),
+e0 AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM sig3 sa JOIN sig3 sb ON sa.doc_id < sb.doc_id
+  WHERE ROUND(({_est3}) / {float(N_MINHASH_AUTO)}, 4) >= {LSH_THRESHOLD}
+),
+edges AS (SELECT doc_a, doc_b FROM e0 UNION SELECT doc_b, doc_a FROM e0),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS r FROM s3
+  UNION
+  SELECT e.doc_a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.doc_b
+),
+comp AS (SELECT doc AS doc_id, MIN(r) AS component FROM reach GROUP BY 1),
+s4 AS (SELECT s3.* FROM s3 JOIN comp USING (doc_id) WHERE doc_id = component),
+bdocs AS (SELECT * FROM documents WHERE doc_id < {BENCHMARK_MAX_ID}),
+{_trigram_ctes("bdocs", "shb")},
+benchsh AS (SELECT DISTINCT shingle FROM shb_all),
+{_trigram_ctes("s4", "sh4")},
+cont AS (SELECT DISTINCT sh4_all.doc_id FROM sh4_all JOIN benchsh USING (shingle)),
+s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+nl5 AS (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs FROM s5),
+c5 AS (
+  SELECT s5.doc_id, s5.lang, n.n_tokens,
+         CAST(COALESCE(SUM(n.n_tokens) OVER (
+             PARTITION BY s5.lang ORDER BY md5(CAST(s5.doc_id AS VARCHAR)), s5.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM s5 JOIN ntok n ON s5.doc_id = n.doc_id
+),
+s6 AS (SELECT doc_id FROM c5 WHERE tokens_before < {_mix_target}),
+p6 AS (
+  SELECT d.doc_id, d.source, n.n_tokens
+  FROM documents d JOIN s6 ON d.doc_id = s6.doc_id JOIN ntok n ON d.doc_id = n.doc_id
+),
+pk AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM p6
+),
+packed AS (
+  SELECT doc_id,
+         CAST(floor(start / {float(PACK_WINDOW)}) AS BIGINT) AS seq_id,
+         CAST(start - CAST(floor(start / {float(PACK_WINDOW)}) AS BIGINT) * {PACK_WINDOW} AS BIGINT) AS seq_off
+  FROM pk
+),
+reasons AS (
+  SELECT doc_id, 'benchmark' AS drop_reason FROM documents WHERE doc_id < {BENCHMARK_MAX_ID}
+  UNION ALL
+  SELECT doc_id, 'quality' FROM qual WHERE doc_id >= {BENCHMARK_MAX_ID} AND quality < {QUALITY_MIN}
+  UNION ALL
+  SELECT ex.doc_id, 'exact_dup' FROM ex JOIN exk ON ex.fp = exk.fp WHERE ex.doc_id <> exk.keeper
+  UNION ALL
+  SELECT doc_id, 'near_dup' FROM comp WHERE doc_id <> component
+  UNION ALL
+  SELECT doc_id, 'contaminated' FROM cont
+  UNION ALL
+  SELECT doc_id, 'budget' FROM c5 WHERE tokens_before >= {_mix_target}
+)
+SELECT d.doc_id, d.lang, d.source, n.n_tokens,
+       r.drop_reason, r.doc_id IS NULL AS keep, p.seq_id, p.seq_off
+FROM documents d
+JOIN ntok n ON d.doc_id = n.doc_id
+LEFT JOIN reasons r ON d.doc_id = r.doc_id
+LEFT JOIN packed p ON d.doc_id = p.doc_id"""
+
     return q

@@ -1041,3 +1041,72 @@ def test_semantic_trained_branch_at_sf1_tier(spark):
     reg = E.queries()["semantic_keep_list"](spark, d)
     assert reg.select("cent_id").distinct().count() <= similarity.IVF_K
     emb.unpersist()
+
+
+def test_curation_manifest_composes(spark):
+    """VERDICT r05 item 2: the composed pipeline's decisions must COMPOSE —
+    each stage sees only the survivors of the previous one. Crafted fixture
+    where every stage fires: benchmark docs, low-quality docs, an exact-dup
+    group, a near-dup cluster whose LOWEST-id member is dropped by the
+    earlier quality stage (so the next member must be RE-ELECTED keeper —
+    the composition property a full-corpus evaluation would get wrong), a
+    contaminated doc, and a token budget that truncates a language. Packing
+    assignments are recomputed in-test for the kept set."""
+    from ictspark.extras import curation
+
+    rows = []
+    for i in range(25):  # benchmark: distinctive phrase defines contamination
+        rows.append((i, f"bench secret phrase b{i} marker token stream x{i} y{i} z{i}", "en", "src0"))
+    # near-dup cluster {30, 31, 32}: 20 tokens each; doc 30 has 13 'the'
+    # (stopword ratio 0.65 -> quality 0.4 < 0.5, dropped 'quality'); 31/32
+    # swap two 'the' for content words (ratio 0.55 -> quality 0.7, survive)
+    base_toks = ["the"] * 13 + ["granite", "meadow", "copper", "lantern", "orchid", "violet", "harbor"]
+    t31 = list(base_toks); t31[0] = "quarry"; t31[1] = "timber"
+    t32 = list(base_toks); t32[2] = "quarry"; t32[3] = "timber"
+    rows.append((30, " ".join(base_toks), "en", "src1"))
+    rows.append((31, " ".join(t31), "en", "src1"))
+    rows.append((32, " ".join(t32), "en", "src1"))
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5  # 50 toks
+    rows.append((40, good.strip() + " unique40", "en", "src1"))
+    rows.append((41, good.strip() + " unique40", "en", "src1"))  # exact dup of 40
+    rows.append((42, good.strip() + " unique40", "en", "src1"))  # exact dup of 40
+    # doc 50: GOOD quality (long, stopwords in band) but embeds the exact
+    # benchmark phrase -> must fall to the contamination stage, not quality
+    common = ["the", "of", "in", "to", "with", "river", "stone", "cloud", "field", "ember"]
+    def filler(i: int, n_pairs: int) -> str:
+        return " ".join(f"u{i}x{j} {common[j % len(common)]}" for j in range(n_pairs))
+    rows.append((50, "bench secret phrase " + filler(50, 24), "de", "src2"))
+    for i in range(60, 70):  # de docs: good quality, mutually non-dup (unique
+        # token every other position), 48 tokens each -> blow a small budget
+        rows.append((i, filler(i, 24), "de", "src2"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    m = curation.curate_pipeline(docs, budget_tokens=120).cache()
+    rows_out = {r["doc_id"]: r for r in m.collect()}
+    assert len(rows_out) == len(rows)  # one row per doc, no fan-out
+    for r in rows_out.values():
+        assert r["keep"] == (r["drop_reason"] is None)
+        assert (r["seq_id"] is not None) == r["keep"]
+    reasons = {d: r["drop_reason"] for d, r in rows_out.items()}
+    assert all(reasons[i] == "benchmark" for i in range(25))
+    assert reasons[30] == "quality"  # lowest near-dup id falls to the EARLIER stage
+    # re-election: 31 becomes the cluster keeper (not near_dup), 32 drops
+    assert reasons[31] != "near_dup"
+    assert reasons[32] == "near_dup"
+    assert reasons[41] == "exact_dup" and reasons[42] == "exact_dup"
+    assert reasons[40] != "exact_dup"  # group keeper survives the stage
+    assert reasons[50] == "contaminated"  # benchmark phrase inside a train doc
+    assert sum(1 for v in reasons.values() if v == "budget") >= 1  # budget binds
+    assert set(v for v in reasons.values() if v) <= {
+        "benchmark", "quality", "exact_dup", "near_dup", "contaminated", "budget"
+    }
+    # packing: recompute begin-boundary windows over the kept set in python
+    kept = sorted(
+        (r["source"], r["doc_id"], r["n_tokens"]) for r in rows_out.values() if r["keep"]
+    )
+    start_by_src: dict = {}
+    for src, did, ntok in kept:
+        start = start_by_src.get(src, 0)
+        assert rows_out[did]["seq_id"] == start // curation.PACK_WINDOW
+        assert rows_out[did]["seq_off"] == start % curation.PACK_WINDOW
+        start_by_src[src] = start + ntok
+    m.unpersist()
