@@ -130,6 +130,7 @@ def main() -> None:
     timed_x("unigram_logprob", lambda: TX.unigram_logprob(docs).count())
     timed_x("bigram_logprob", lambda: TX.bigram_logprob(docs).count())
     timed_x("semantic_keep_list", lambda: similarity.semantic_keep_list(emb).count())
+    timed_x("curation_manifest", lambda: curation.curate_pipeline(docs).count())
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)
     out = {

@@ -39,14 +39,18 @@ SCALE_CRITICAL = {
 }
 
 
-# The EXACT r05 window (ADVICE r03: pin the full 50-entry list, not just a
+# The EXACT r06 window (ADVICE r03: pin the full 50-entry list, not just a
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
-# r05 fills the window by accumulated-green count ascending: 8 never-graded,
-# 16 once-green, 13 twice-green tail residents, 13 thrice-green r04
-# displacements (VERDICT r04 item 5) — after this round every registry entry
-# holds ≥ 2 driver-green rounds.
-R05_WINDOW = [
+# r06 fills the window by accumulated-green count ascending over
+# CORRECTNESS_r01..r05: 7 never-graded (six r05 additions +
+# curation_manifest), 8 once-green r05 debutants, all 25 twice-green, 9
+# thrice-green in registry order — PLUS minhash_lsh_pairs, whose definition
+# changed in r06 (threshold-derived sizing + one-md5 integer hash family),
+# so its prior greens no longer attest the current code.
+R06_WINDOW = [
+    "bigram_logprob", "semantic_dup_pairs", "semantic_keep_list",
+    "pack_sequences", "mixture_plan", "tool_chain_stats", "curation_manifest",
     "export_matrix_vertical", "repetition_score", "events_day_0600",
     "tpch_q1like", "tpch_q5like", "parts_by_brand", "top_customers",
     "events_sessionize", "product_workbook", "limit_regime_asof",
@@ -54,13 +58,12 @@ R05_WINDOW = [
     "unigram_logprob", "dedup_keep_list", "corpus_mix", "contamination_check",
     "ann_quantized_rerank", "embedding_norm_stats", "media_dedup",
     "mb_result_boxes", "events_hourly", "events_shift_buckets",
-    "export_matrix_failed", "export_matrix_final_run", "tool_call_stats",
-    "tool_call_args_hist", "retest_marker_parity", "reassembly_check",
-    "conv_turn_stats", "conv_reports", "dq_report", "first_fail_reports",
-    "role_stats", "hourly_labeled", "step_units", "hourly_detail",
-    "hourly_totals", "daily_report", "limit_change_points", "testlist",
-    "step_value_stats", "export_matrix", "doc_stats", "quality_score",
-    "fingerprint", "rolling_fingerprint", "dedup_exact", "lang_id",
+    "dedup_components", "stratified_sample", "top_terms_per_lang",
+    "length_percentiles", "scrub_stats", "ann_multiprobe", "ann_ivf",
+    "embedding_quantize", "media_featurize", "export_matrix_failed",
+    "export_matrix_final_run", "tool_call_stats", "tool_call_args_hist",
+    "retest_marker_parity", "reassembly_check", "conv_turn_stats",
+    "conv_reports", "dq_report", "minhash_lsh_pairs",
 ]
 
 
@@ -90,7 +93,7 @@ def test_scale_critical_queries_graded_or_proven():
 
 
 def test_exact_driver_window_pinned():
-    assert list(E.queries())[:50] == R05_WINDOW
+    assert list(E.queries())[:50] == R06_WINDOW
 
 
 def test_every_query_has_an_oracle():
