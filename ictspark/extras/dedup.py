@@ -274,9 +274,36 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
     a = buckets.alias("a")
     b = buckets.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if r == 1:
+        # Single-hash bands: a matching BAND row IS a matching signature
+        # POSITION, so est_jaccard = matching-band count / k directly from
+        # the candidate join — one map-side-combinable groupBy, no distinct
+        # pass and no re-join of the k-column signature frame (r06: at sf1
+        # the 26M low-precision candidates made those two wide sig joins
+        # ~2/3 of the whole query; counting in place cut 75 s → ~25 s).
+        # Identical output: round(cnt/k, 4) = the positional-match fraction.
+        return (
+            joined.groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("nm"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(F.col("nm") / F.lit(float(k)), 4).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
+    # r > 1 (explicit/demo path): band matches under-count positional
+    # matches, so score candidates against the full signatures
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        joined.select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     sa = sig.alias("sa")
