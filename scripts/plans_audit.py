@@ -191,6 +191,22 @@ def main() -> None:
         "demo subset would exceed the target occupancy.",
     )
     add(
+        "Composed curation manifest (six survivor-chained stages, r06)",
+        __import__("ictspark.extras.curation", fromlist=["curate_pipeline"]).curate_pipeline(docs),
+        "benchmark holdout → quality → exact dedup → near-dup keep list → "
+        "contamination → token-budget mixture → sequence packing, each stage over "
+        "ONLY the previous stage's survivors (keeper re-election composes). Every "
+        "stage is the already-audited operator — hash groupBys, banded equi-joins, "
+        "two-phase prefix sums — glued by doc_id anti-joins. Survivor frames s2/s3/s5 "
+        "are CHECKPOINTED between stages (reliable checkpoint when configured, else "
+        "localCheckpoint): each survivor set has multiple consumers (its drop branch "
+        "+ the next stage), and the barrier stops the chain re-deriving the quality "
+        "scan / exact groupBy / shingle builds once per consumer (42.5→32.6 s cold "
+        "at sf1) — at 100 TB these are exactly the stage outputs a multi-stage "
+        "pipeline persists to storage. Final manifest = documents LEFT JOIN the "
+        "disjoint drop-reason union LEFT JOIN packing, all on doc_id.",
+    )
+    add(
         "Contamination scan (shingle equi-join vs distinct bench set, r04)",
         __import__("ictspark.extras.curation", fromlist=["contamination_check"]).contamination_check(docs),
         "Benchmark membership via hash join on the shingle key against the DISTINCT "

@@ -195,3 +195,43 @@ def test_winnowing_guarantee_property(spark):
         sets.setdefault(r["doc_id"], set()).add(r["fp"])
     for ia, ib in expected_pairs:
         assert sets[ia] & sets[ib], f"guarantee violated for docs {ia},{ib}"
+
+
+def test_minhash_sizing_formula_properties():
+    """Hypothesis sweep over the r06 MinHash sizers: for any threshold and r,
+    the derived band count must actually DELIVER the target recall under the
+    OR-construction (the formula's own promise, checked independently), more
+    bands never hurt, and a higher threshold never needs more bands at fixed
+    r. Degenerate thresholds stay finite (clamps)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ictspark.extras.dedup import minhash_bands_for, minhash_rows_for
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(min_value=0.05, max_value=0.95),
+        st.integers(min_value=1, max_value=6),
+        st.floats(min_value=0.9, max_value=0.99999),
+    )
+    def check(threshold, r, target):
+        bands = minhash_bands_for(threshold, r, target)
+        assert bands >= 1
+        achieved = 1.0 - (1.0 - threshold**r) ** bands
+        assert achieved >= target - 1e-9, (threshold, r, target, bands, achieved)
+        # minimality: one band fewer must miss the target (no over-sizing)
+        if bands > 1:
+            assert 1.0 - (1.0 - threshold**r) ** (bands - 1) < target + 1e-9
+        # monotonicity in threshold at fixed r
+        higher = min(threshold + 0.04, 0.99)
+        assert minhash_bands_for(higher, r, target) <= bands
+        # the row sizer returns an r whose k fits its own budget (or r=1)
+        rr = minhash_rows_for(threshold, max_k=64, target_recall=target)
+        assert rr >= 1
+        if rr > 1:
+            assert rr * minhash_bands_for(threshold, rr, target) <= 64
+
+    check()
+    # degenerate inputs: finite, conservative answers — no domain errors
+    assert minhash_bands_for(0.0, 1, 0.999) >= 1
+    assert minhash_bands_for(1.0, 4, 0.9999) == 1
+    assert minhash_rows_for(0.0) == 1
