@@ -590,3 +590,38 @@ def curate_pipeline(
             "seq_off",
         )
     )
+
+
+def training_order(documents: DataFrame, seed: str = "epoch0") -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle — the data-ordering step a
+    pretraining run executes after curation: every doc gets a dense global
+    rank under a seeded reproducible permutation (md5(seed:doc_id)), so the
+    training loop reads docs in a shuffled-but-replayable order and a new
+    ``seed`` ("epoch1", …) yields an independent permutation without
+    re-materializing anything. Deterministic across engines/runs — no RNG,
+    no sampleBy drift; ties impossible (doc_id is the final key).
+
+    Scale shape (the corpus_mix two-phase rule, applied to a single GLOBAL
+    ordering): a naive ROW_NUMBER() OVER (ORDER BY …) funnels the entire
+    corpus through ONE task. Instead the md5 key's first two hex chars form
+    a 256-way range partition whose bucket order IS key order: rank within
+    the bucket (a 1/256-of-corpus window) + the cumulative count of earlier
+    buckets reproduces the global rank EXACTLY. The offsets table is 256
+    rows — its own cumulative window runs single-task over bounded, constant
+    cardinality (the corpus_mix offsets class), and joins back broadcast.
+    The DuckDB oracle computes the single-window definition; parity proves
+    the two-phase form equal."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    d = documents.select("doc_id", key.alias("mkey"), F.substring(key, 1, 2).alias("bkt"))
+    bcounts = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bcounts.withColumn("off", F.coalesce(F.sum("bn").over(w_off), F.lit(0)))
+    w_b = Window.partitionBy("bkt").orderBy("mkey", "doc_id")
+    return (
+        d.withColumn("brnk", F.row_number().over(w_b))
+        .join(F.broadcast(offsets.select("bkt", "off")), "bkt")
+        .select(
+            "doc_id",
+            (F.col("brnk") + F.col("off")).cast("bigint").alias("global_rank"),
+        )
+    )

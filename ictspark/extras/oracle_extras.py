@@ -747,6 +747,14 @@ SELECT a.vec_id, a.cent_id,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
 FROM assign a LEFT JOIN dropped d USING (vec_id)"""
 
+    # single-global-window ground truth for training_order's two-phase rank
+    q["training_order"] = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS global_rank
+FROM documents"""
+
     # ---------------- composed curation pipeline (VERDICT r05 item 2) -------
     # One CTE chain restating every stage of curation.curate_pipeline over the
     # SURVIVORS of the previous stage — quality → exact dedup → near-dup

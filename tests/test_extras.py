@@ -1110,3 +1110,42 @@ def test_curation_manifest_composes(spark):
         assert rows_out[did]["seq_off"] == start % curation.PACK_WINDOW
         start_by_src[src] = start + ntok
     m.unpersist()
+
+
+def test_ngram_brute_guard(spark, docs):
+    """r06: the brute-force verification baseline refuses corpora above
+    max_docs (pointing at the LSH production path); max_docs=None forces."""
+    big = spark.range(0, 30).selectExpr("id AS doc_id", "'a b c d e' AS text")
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(big, max_docs=10)
+    assert dedup.ngram_jaccard_pairs(big, threshold=0.9, max_docs=None).count() > 0
+    # fixture-size corpora pass the default guard untouched
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.2).count() >= 0
+
+
+def test_training_order_two_phase_and_seeds(docs):
+    """training_order (r06): the two-phase bucketed rank must equal the naive
+    single-window global rank exactly; ranks are a dense 1..n permutation;
+    different seeds give genuinely different permutations and the same seed
+    reproduces bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    from ictspark.extras import curation
+
+    got = {r["doc_id"]: r["global_rank"] for r in curation.training_order(docs).collect()}
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    ref_df = docs.select(
+        "doc_id", F.row_number().over(W.orderBy(key, "doc_id")).alias("global_rank")
+    )
+    ref = {r["doc_id"]: r["global_rank"] for r in ref_df.collect()}
+    assert got == ref
+    n = docs.count()
+    assert sorted(got.values()) == list(range(1, n + 1))  # dense permutation
+    again = {r["doc_id"]: r["global_rank"] for r in curation.training_order(docs).collect()}
+    assert again == got  # same seed → bit-identical
+    other = {
+        r["doc_id"]: r["global_rank"]
+        for r in curation.training_order(docs, seed="epoch1").collect()
+    }
+    assert other != got  # new epoch → a different permutation
+    assert sorted(other.values()) == list(range(1, n + 1))
