@@ -550,7 +550,10 @@ def curate_pipeline(
     bench_sh = (
         shingles(documents.where(is_bench), max_df=None).select("shingle").distinct()
     )
-    hit = (
+    # hit has two consumers (its drop branch + the s5 anti-join) like every
+    # survivor frame — barrier it too, or the uncapped stage-4 shingle build
+    # runs twice (code-review r06)
+    hit = _ckpt(
         shingles(s4, max_df=None)
         .join(bench_sh, "shingle")
         .select("doc_id")

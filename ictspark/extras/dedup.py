@@ -303,8 +303,13 @@ def minhash_lsh_pairs(
         & (F.col("a.bkey") == F.col("b.bkey"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    if r == 1:
-        # Single-hash bands: a matching BAND row IS a matching signature
+    if r == 1 and k == bands:
+        # Single-hash bands COVERING every signature position (k == bands —
+        # always true on the auto path, where k = r*bands; an explicit
+        # non-divisible (k, bands) leaves tail positions outside the bands
+        # and must take the full-signature scoring path below, else their
+        # matches silently vanish from est — code-review r06): a matching
+        # BAND row IS a matching signature
         # POSITION, so est_jaccard = matching-band count / k directly from
         # the candidate join — one map-side-combinable groupBy, no distinct
         # pass and no re-join of the k-column signature frame (r06: at sf1

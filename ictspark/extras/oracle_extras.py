@@ -118,6 +118,9 @@ def extras_oracles(transcripts_path: str, media_path: str) -> dict[str, str]:
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     q: dict[str, str] = {}
 
+    # LEFT JOIN + NULLIF (r06): a zero-token doc has no rows in the token
+    # CTE — it must still appear with n_tokens=0 and NULL ratios, matching
+    # the Spark side's try_divide row (an inner join silently dropped it)
     q["doc_stats"] = f"""
 WITH {_TOKS},
 agg AS (
@@ -125,11 +128,12 @@ agg AS (
          CAST(SUM(CASE WHEN token IN ({sw}) THEN 1 ELSE 0 END) AS BIGINT) AS sw
   FROM toks GROUP BY 1
 )
-SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, a.n_tokens,
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(lower(d.text), '{TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
-       ROUND(a.sw * 1.0 / a.n_tokens, 4) AS stopword_ratio,
-       ROUND(length(d.text) * 1.0 / a.n_tokens, 4) AS avg_token_len
-FROM documents d JOIN agg a USING (doc_id)"""
+       ROUND(a.sw * 1.0 / NULLIF(a.n_tokens, 0), 4) AS stopword_ratio,
+       ROUND(length(d.text) * 1.0 / NULLIF(a.n_tokens, 0), 4) AS avg_token_len
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     q["quality_score"] = f"""
 WITH {_TOKS},
@@ -139,10 +143,12 @@ agg AS (
   FROM toks GROUP BY 1
 ),
 s AS (
-  SELECT d.doc_id, a.n_tokens,
-         a.sw * 1.0 / a.n_tokens AS stopword_ratio,
-         length(d.text) * 1.0 / a.n_tokens AS avg_token_len
-  FROM documents d JOIN agg a USING (doc_id)
+  -- LEFT JOIN + NULLIF (r06): zero-token docs score 0.0 (NULL ratios fail
+  -- both band predicates), matching Spark's try_divide path
+  SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+         a.sw * 1.0 / NULLIF(a.n_tokens, 0) AS stopword_ratio,
+         length(d.text) * 1.0 / NULLIF(a.n_tokens, 0) AS avg_token_len
+  FROM documents d LEFT JOIN agg a USING (doc_id)
 )
 SELECT doc_id,
        ROUND(least(n_tokens / 50.0, 1.0) * 0.5
@@ -823,12 +829,14 @@ qagg AS (
   FROM qt GROUP BY 1
 ),
 qual AS (
+  -- LEFT JOIN + NULLIF (r06): a zero-token doc must score 0.0 and fall to
+  -- the quality stage, not vanish from the manifest as silently "kept"
   SELECT d.doc_id,
-         ROUND(least(a.n_toks / 50.0, 1.0) * 0.5
-               + CASE WHEN a.swc * 1.0 / a.n_toks > 0.01 AND a.swc * 1.0 / a.n_toks < 0.6 THEN 0.3 ELSE 0.0 END
-               + CASE WHEN length(d.text) * 1.0 / a.n_toks > 3 AND length(d.text) * 1.0 / a.n_toks < 12 THEN 0.2 ELSE 0.0 END,
+         ROUND(least(COALESCE(a.n_toks, 0) / 50.0, 1.0) * 0.5
+               + CASE WHEN a.swc * 1.0 / NULLIF(a.n_toks, 0) > 0.01 AND a.swc * 1.0 / NULLIF(a.n_toks, 0) < 0.6 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN length(d.text) * 1.0 / NULLIF(a.n_toks, 0) > 3 AND length(d.text) * 1.0 / NULLIF(a.n_toks, 0) < 12 THEN 0.2 ELSE 0.0 END,
                4) AS quality
-  FROM documents d JOIN qagg a USING (doc_id)
+  FROM documents d LEFT JOIN qagg a USING (doc_id)
 ),
 s2 AS (
   SELECT d.* FROM documents d JOIN qual USING (doc_id)

@@ -17,7 +17,16 @@ TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def doc_stats(documents: DataFrame) -> DataFrame:
-    """Quality-scoring features: token counts, lengths, stopword ratio."""
+    """Quality-scoring features: token counts, lengths, stopword ratio.
+
+    Zero-token docs (empty/whitespace-only text) get NULL ratios via
+    ``try_divide`` — under Spark's default ANSI mode a plain division
+    crashed the whole job on the first such doc (code-review r06), and the
+    DuckDB oracle's x/NULLIF(n,0) produces the same NULLs, so both engines
+    emit the row instead of one crashing and the other dropping it.
+    Downstream, quality_score's band predicates are NULL-safe (a NULL ratio
+    fails both bands → contributes 0), so an empty doc scores 0.0 and is
+    dropped by any sane quality threshold rather than slipping through."""
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     return documents.select(
         "doc_id",
@@ -25,9 +34,10 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("n_bpe_tokens"),
         F.round(
-            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / F.size(toks), 4
+            F.try_divide(F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))), F.size(toks)),
+            4,
         ).alias("stopword_ratio"),
-        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
+        F.round(F.try_divide(F.length("text"), F.size(toks)), 4).alias("avg_token_len"),
     )
 
 

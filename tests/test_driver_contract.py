@@ -43,11 +43,11 @@ SCALE_CRITICAL = {
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
 # r06 fills the window by accumulated-green count ascending over
-# CORRECTNESS_r01..r05: 7 never-graded (six r05 additions +
-# curation_manifest), 8 once-green r05 debutants, all 25 twice-green, 9
-# thrice-green in registry order — PLUS minhash_lsh_pairs, whose definition
-# changed in r06 (threshold-derived sizing + one-md5 integer hash family),
-# so its prior greens no longer attest the current code.
+# CORRECTNESS_r01..r05: 8 never-graded (six r05 additions +
+# curation_manifest + training_order), 8 once-green r05 debutants, all 25
+# twice-green, 8 thrice-green in registry order — PLUS minhash_lsh_pairs,
+# whose definition changed in r06 (threshold-derived sizing + one-md5
+# integer hash family), so its prior greens no longer attest the code.
 R06_WINDOW = [
     "bigram_logprob", "semantic_dup_pairs", "semantic_keep_list",
     "pack_sequences", "mixture_plan", "tool_chain_stats", "curation_manifest",
@@ -63,7 +63,7 @@ R06_WINDOW = [
     "embedding_quantize", "media_featurize", "export_matrix_failed",
     "export_matrix_final_run", "tool_call_stats", "tool_call_args_hist",
     "retest_marker_parity", "reassembly_check", "conv_turn_stats",
-    "conv_reports", "dq_report", "minhash_lsh_pairs",
+    "conv_reports", "training_order", "minhash_lsh_pairs",
 ]
 
 

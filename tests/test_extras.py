@@ -1149,3 +1149,43 @@ def test_training_order_two_phase_and_seeds(docs):
     }
     assert other != got  # new epoch → a different permutation
     assert sorted(other.values()) == list(range(1, n + 1))
+
+
+def test_zero_token_docs_survive_both_engines(spark, tmp_path):
+    """Code-review r06: a zero-token doc (empty/whitespace text) used to
+    CRASH doc_stats/quality_score under Spark's default ANSI mode
+    (DIVIDE_BY_ZERO) while the DuckDB oracles silently dropped the row via
+    an inner token-join — the first fixture with such a doc would have
+    failed the newly-windowed curation_manifest. Now: try_divide NULLs the
+    ratios, quality scores 0.0, the manifest drops the doc as 'quality',
+    and all three oracles agree engine-for-engine on the crafted corpus."""
+    import duckdb
+
+    from ictspark.compare import diff
+    from ictspark.extras import curation, oracle_extras
+
+    rows = [(i, f"bench secret b{i} tokens here", "en", "s0") for i in range(25)]
+    rows += [
+        (30, "", "en", "s1"),
+        (31, "   ", "en", "s1"),
+        (32, "the quick brown fox jumps over a lazy dog with the gang of "
+             "nine running through the field of red stones in the early "
+             "morning light today again", "en", "s1"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    p = str(tmp_path / "docs.parquet")
+    d.coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    oracles = oracle_extras.extras_oracles("/dev/null", "/dev/null")
+    checks = {
+        "doc_stats": textstats.doc_stats(docs),
+        "quality_score": textstats.quality_score(docs),
+        "curation_manifest": curation.curate_pipeline(docs),
+    }
+    for name, df in checks.items():
+        delta = diff(df.toPandas(), con.execute(oracles[name]).df())
+        assert delta is None, f"{name}: {delta}"
+    reasons = {r["doc_id"]: r["drop_reason"] for r in checks["curation_manifest"].collect()}
+    assert reasons[30] == "quality" and reasons[31] == "quality"
