@@ -761,6 +761,28 @@ SELECT doc_id,
        ) AS global_rank
 FROM documents"""
 
+    # prototypicality: fixed-subset assignment + within-cluster hardness rank
+    q["prototypicality"] = f"""
+WITH {_NORM},
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM n
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}
+),
+scored AS (
+  SELECT n.vec_id, c.cent_id,
+         ROUND(list_inner_product(n.v, c.cv) / (n.norm * c.cn), 6) AS csim
+  FROM n CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cent_id, csim AS proto_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id, cent_id, proto_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY proto_sim, vec_id) AS INT) AS hardness_rank
+FROM assign"""
+
     # ---------------- composed curation pipeline (VERDICT r05 item 2) -------
     # One CTE chain restating every stage of curation.curate_pipeline over the
     # SURVIVORS of the previous stage — quality → exact dedup → near-dup

