@@ -1211,3 +1211,21 @@ def test_prototypicality_semantics(emb):
     r1 = out.where("hardness_rank = 1").join(mins, "cent_id")
     assert r1.where(F.col("proto_sim") != F.col("lo")).count() == 0
     out.unpersist()
+
+
+def test_srp_band_key_forms_equivalent(emb):
+    """Regression guard for the r06 matrix-literal rewrite: the convenience
+    single-expression form (srp_band_keys) and the two-projection form
+    embedding_dup_pairs uses (srp_bit_array + srp_keys_from_bits) must
+    produce identical band keys for every vector."""
+    rows_, bands_ = 3, 5
+    e = similarity._with_norm(emb).limit(200)
+    one = e.select("vec_id", similarity.srp_band_keys(F.col("v"), rows_, bands_).alias("k"))
+    two = e.withColumn(
+        "bits", similarity.srp_bit_array(F.col("v"), rows_ * bands_)
+    ).select(
+        "vec_id", similarity.srp_keys_from_bits(F.col("bits"), rows_, bands_).alias("k")
+    )
+    a = {r["vec_id"]: r["k"] for r in one.collect()}
+    b = {r["vec_id"]: r["k"] for r in two.collect()}
+    assert a == b
