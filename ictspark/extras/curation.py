@@ -191,11 +191,23 @@ def corpus_mix(documents: DataFrame) -> DataFrame:
     )
 
 
-def contamination_check(documents: DataFrame, benchmark_max_id: int = 25) -> DataFrame:
+def contamination_check(
+    documents: DataFrame,
+    benchmark_max_id: int = 25,
+    benchmark_docs: DataFrame | None = None,
+) -> DataFrame:
     """Benchmark-contamination scan: does a training doc share word-3-gram
-    shingles with the held-out benchmark set (here: doc_id < benchmark_max_id,
-    standing in for an external eval corpus)? Per non-benchmark doc: the
+    shingles with the held-out benchmark set? Per non-benchmark doc: the
     count of distinct shared shingles and the contaminated flag.
+
+    The benchmark set is ``benchmark_docs`` (any frame with doc_id + text —
+    the production shape, an external eval corpus) when given; otherwise the
+    FIXTURE convention doc_id < ``benchmark_max_id`` (ADVICE r06: the ID
+    threshold is a stand-in that only means "benchmark" on the synthetic
+    tables — callers with arbitrary doc_ids must pass ``benchmark_docs``).
+    When a benchmark frame is passed, training docs are everything in
+    ``documents`` whose doc_id is NOT in it (left_anti on the distinct,
+    bounded benchmark id set).
 
     NO df-cap here (r04, ADVICE r03): the dedup family's MAX_SHINGLE_DF cap
     exists because a hot shingle squares a SELF-join bucket — but this join's
@@ -206,13 +218,23 @@ def contamination_check(documents: DataFrame, benchmark_max_id: int = 25) -> Dat
     the most widespread contamination — became systematically invisible."""
     from ictspark.extras.dedup import shingles
 
-    sh = shingles(documents, max_df=None)
-    bench = sh.where(F.col("doc_id") < benchmark_max_id).select("shingle").distinct()
-    train = sh.where(F.col("doc_id") >= benchmark_max_id)
+    if benchmark_docs is None:
+        sh = shingles(documents, max_df=None)
+        bench = sh.where(F.col("doc_id") < benchmark_max_id).select("shingle").distinct()
+        train = sh.where(F.col("doc_id") >= benchmark_max_id)
+        base = documents.where(F.col("doc_id") >= benchmark_max_id).select("doc_id")
+    else:
+        # an eval corpus is bounded (thousands of docs) — its distinct id set
+        # broadcasts; the anti-join never shuffles the training corpus on a
+        # new key (doc_id is the key every downstream stage uses anyway)
+        bench_ids = benchmark_docs.select("doc_id").distinct()
+        bench = shingles(benchmark_docs, max_df=None).select("shingle").distinct()
+        train_docs = documents.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+        train = shingles(train_docs, max_df=None)
+        base = train_docs.select("doc_id")
     hits = train.join(bench, "shingle").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared_shingles")
     )
-    base = documents.where(F.col("doc_id") >= benchmark_max_id).select("doc_id")
     return (
         base.join(hits, "doc_id", "left")
         .select(
@@ -444,7 +466,9 @@ def mixture_plan(
 
 
 QUALITY_MIN = 0.5  # default keep threshold for the composed pipeline
-BENCHMARK_MAX_ID = 25  # doc_id < this = the held-out benchmark set
+# FIXTURE convention only (ADVICE r06): doc_id < this = the held-out benchmark
+# set on the synthetic tables; production callers pass benchmark_docs=<frame>
+BENCHMARK_MAX_ID = 25
 # The pipeline's own token budget, tighter than mixture_plan's standalone
 # demo: the budget stage must BIND on the post-dedup/decontamination
 # survivor set of the graded fixtures (mixture_plan's 50k default exceeds
@@ -458,6 +482,7 @@ def curate_pipeline(
     quality_min: float = QUALITY_MIN,
     benchmark_max_id: int = BENCHMARK_MAX_ID,
     budget_tokens: int = CURATE_BUDGET_TOKENS,
+    benchmark_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The END-TO-END curation manifest (VERDICT r05 item 2): the operators
     this module and its siblings provide, CHAINED the way a 100 TB
@@ -469,9 +494,14 @@ def curate_pipeline(
     phase's output, not the raw input.
 
     Stages, in order, with their drop reasons:
-      1. 'benchmark'     doc_id < benchmark_max_id — the held-out eval set
-                         is never trained on (it still DEFINES the
-                         contamination shingles below);
+      1. 'benchmark'     the held-out eval set is never trained on (it still
+                         DEFINES the contamination shingles below). The set
+                         is ``benchmark_docs`` when given (the PRODUCTION
+                         shape — any frame of doc_id + text, e.g. an
+                         external eval corpus; ADVICE r06: with arbitrary
+                         corpus doc_ids the ID threshold below holds out the
+                         wrong docs, so real callers pass the frame); else
+                         the fixture convention doc_id < benchmark_max_id;
       2. 'quality'       textstats.quality_score < quality_min (per-doc
                          score — corpus-independent, so stage order cannot
                          change it);
@@ -521,7 +551,20 @@ def curate_pipeline(
     doc_cols = documents.columns
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     base = documents.join(quality_score(documents), "doc_id")
-    is_bench = F.col("doc_id") < benchmark_max_id
+    if benchmark_docs is None:
+        benchmark_docs = documents.where(F.col("doc_id") < benchmark_max_id)
+        # fixture path: the membership test is a plain pushed-down predicate
+        base = base.withColumn("_is_bench", F.col("doc_id") < benchmark_max_id)
+    else:
+        # production path: membership in the (bounded — an eval corpus is
+        # thousands of docs) benchmark id set, broadcast against the corpus
+        bench_ids = (
+            benchmark_docs.select("doc_id").distinct().withColumn("_b", F.lit(True))
+        )
+        base = base.join(F.broadcast(bench_ids), "doc_id", "left").withColumn(
+            "_is_bench", F.coalesce("_b", F.lit(False))
+        )
+    is_bench = F.col("_is_bench")
     is_lowq = F.col("quality") < quality_min
     drops_bench = base.where(is_bench).select("doc_id", F.lit("benchmark").alias("drop_reason"))
     drops_quality = base.where(~is_bench & is_lowq).select(
@@ -543,13 +586,11 @@ def curate_pipeline(
     )
     s4 = s3.join(nd.where(F.col("keep")).select("doc_id"), "doc_id")
 
-    # benchmark shingles from the FULL corpus (the dropped benchmark docs
-    # still define contamination); train side = stage-4 survivors; both
+    # benchmark shingles from the full benchmark frame (the dropped benchmark
+    # docs still define contamination); train side = stage-4 survivors; both
     # UNCAPPED (contamination_check's r04 rule — the join is linear in train
     # shingles because the build side is the distinct benchmark set)
-    bench_sh = (
-        shingles(documents.where(is_bench), max_df=None).select("shingle").distinct()
-    )
+    bench_sh = shingles(benchmark_docs, max_df=None).select("shingle").distinct()
     # hit has two consumers (its drop branch + the s5 anti-join) like every
     # survivor frame — barrier it too, or the uncapped stage-4 shingle build
     # runs twice (code-review r06)

@@ -204,7 +204,9 @@ def mh_coeffs(k: int) -> list[tuple[int, int, int]]:
     return [(c(f"mh-a{i}") | 1, c(f"mh-b{i}") | 1, c(f"mh-c{i}")) for i in range(k)]
 
 
-def minhash_signatures(documents: DataFrame, k: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, k: int = N_MINHASH, max_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
     """k MinHash values per doc (BIGINT): min over shingles of k linear
     permutations of ONE md5 digest,
 

@@ -314,7 +314,10 @@ def dedupe_stream_newest(
     # breadcrumb for run_available_now (ADVICE r05): with a finite retention
     # this stream never self-terminates under availableNow — the hazardous
     # path is the NO-ARGS one, so the drain helper must be able to refuse it
-    # loudly instead of hanging until an outer timeout kills the test run
+    # loudly instead of hanging until an outer timeout kills the test run.
+    # r07 (ADVICE r06): the breadcrumb is now a fast-path HINT only — the
+    # authoritative check in run_available_now derives from the analyzed
+    # plan, which survives select/filter/withColumn over this frame.
     out._ictspark_processing_time_timeout = retention_ms is not None  # type: ignore[attr-defined]
     return out
 
@@ -581,6 +584,23 @@ def run_until_idle(
     return out
 
 
+def _has_processing_time_timeout(stream_df: DataFrame) -> bool:
+    """Plan-derived ProcessingTimeTimeout detection (ADVICE r06): the former
+    Python-attribute breadcrumb vanished under any intervening select/filter/
+    withColumn, silently bypassing the hang guard. The analyzed logical plan
+    keeps the timeout conf on its FlatMapGroups* stateful node through
+    arbitrary downstream transformations (probed: the marker survives a
+    .select over ``dedupe_stream_newest``'s output), so the guard now reads
+    the plan; the attribute remains as a zero-cost fast path for the
+    untransformed frame."""
+    if getattr(stream_df, "_ictspark_processing_time_timeout", False):
+        return True
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    return any(
+        "ProcessingTimeTimeout" in ln for ln in plan.splitlines() if "FlatMapGroups" in ln
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str) -> list:
     """Drain the stream with the availableNow trigger into an in-memory sink;
     returns collected rows. Used by tests and the parity harness.
@@ -592,8 +612,10 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str) -
     would hang until an outer timeout. Use ``run_until_idle`` (tests) or a
     continuous trigger (deployment); pass ``retention_ms=None`` only for a
     batch-replay/backfill drain, where processing-time expiry would re-admit
-    old duplicates anyway and unbounded state is the correct trade."""
-    if getattr(stream_df, "_ictspark_processing_time_timeout", False):
+    old duplicates anyway and unbounded state is the correct trade. The
+    check is plan-derived (``_has_processing_time_timeout``), so it fires
+    even on transformed descendants of the stateful frame (ADVICE r06)."""
+    if _has_processing_time_timeout(stream_df):
         raise ValueError(
             "run_available_now cannot drain a ProcessingTimeTimeout stream "
             "(it never self-terminates under availableNow): use "

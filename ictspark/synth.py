@@ -480,6 +480,14 @@ def ensure_embeddings(sf_name: str) -> str:
         with open(meta_path) as f:
             if json.load(f).get("emb_version") == EMB_VERSION:
                 return out
+    if sf_name not in N_EMB:
+        # ADVICE r06: a bare KeyError named nothing — say which tiers this
+        # synthesizer covers and where the smaller ones live instead
+        raise ValueError(
+            f"ensure_embeddings: no synthetic embeddings tier {sf_name!r} "
+            f"(supported: {sorted(N_EMB)}); tiers up to sf0.1 ship in the "
+            "driver testdata at /root/testdata/<sf>/embeddings.parquet"
+        )
     n = N_EMB[sf_name]
     rng = np.random.default_rng(zlib.crc32(f"emb-{sf_name}-v{EMB_VERSION}".encode()))
     centers = rng.standard_normal((N_EMB_LABELS, EMB_DIM))

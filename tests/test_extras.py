@@ -1229,3 +1229,50 @@ def test_srp_band_key_forms_equivalent(emb):
     a = {r["vec_id"]: r["k"] for r in one.collect()}
     b = {r["vec_id"]: r["k"] for r in two.collect()}
     assert a == b
+
+
+def test_curate_pipeline_explicit_benchmark_frame(spark):
+    """ADVICE r06: the ID-threshold benchmark convention is fixture-only —
+    callers with arbitrary doc_ids pass benchmark_docs, and exactly that
+    frame's docs must be held out (and define contamination), regardless of
+    their ids. The default path must equal passing the fixture subset
+    explicitly."""
+    from ictspark.extras import curation
+
+    common = ["the", "of", "in", "to", "with", "river", "stone", "cloud", "field", "ember"]
+
+    def filler(i: int, n_pairs: int = 24) -> str:
+        # unique token every other position: no cross-doc trigram sharing
+        return " ".join(f"u{i}x{j} {common[j % len(common)]}" for j in range(n_pairs))
+
+    rows = []
+    for i in (3, 17, 400):  # arbitrary non-contiguous benchmark ids
+        rows.append((i, f"bench{i} secret marker phrase {filler(i)}", "en", "src1"))
+    rows.append((100, f"plain training doc {filler(100)}", "en", "src1"))
+    # embeds benchmark-3's phrase -> must drop 'contaminated'
+    rows.append((101, f"copycat bench3 secret marker phrase {filler(101)}", "en", "src1"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    bench = docs.where(F.col("doc_id").isin(3, 17, 400))
+    m = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curation.curate_pipeline(docs, benchmark_docs=bench).collect()
+    }
+    assert m[3] == m[17] == m[400] == "benchmark"
+    assert m[101] == "contaminated"
+    assert m[100] is None
+    # contamination_check takes the same frame
+    cc = {
+        r["doc_id"]: r["contaminated"]
+        for r in curation.contamination_check(docs, benchmark_docs=bench).collect()
+    }
+    assert set(cc) == {100, 101} and cc[101] and not cc[100]
+    # and the fixture default == the explicit fixture subset, row for row
+    fx = [(i, filler(i), "en", "src1") for i in range(0, 40)]
+    fdocs = spark.createDataFrame(fx, "doc_id long, text string, lang string, source string")
+    a = curation.curate_pipeline(fdocs).orderBy("doc_id").collect()
+    b = curation.curate_pipeline(
+        fdocs, benchmark_docs=fdocs.where(F.col("doc_id") < curation.BENCHMARK_MAX_ID)
+    ).orderBy("doc_id").collect()
+    assert a == b

@@ -360,6 +360,13 @@ def test_available_now_refuses_processing_time_timeout_stream(spark, tmp_path):
     dd = streaming.dedupe_stream_newest(s)  # the no-args default path
     with pytest.raises(ValueError, match="ProcessingTimeTimeout"):
         streaming.run_available_now(dd, str(tmp_path / "ck0"), output_mode="update")
+    # ADVICE r06: the guard must survive transformations — a select over the
+    # stateful frame drops the Python breadcrumb attribute, so the check now
+    # derives from the analyzed plan and must still fire on the descendant
+    with pytest.raises(ValueError, match="ProcessingTimeTimeout"):
+        streaming.run_available_now(
+            dd.select("conv_id", "turn_idx"), str(tmp_path / "ck0b"), output_mode="update"
+        )
     # the unbounded-state variant still drains (and yields the one row)
     dd_none = streaming.dedupe_stream_newest(s, retention_ms=None)
     rows = streaming.run_available_now(dd_none, str(tmp_path / "ck1"), output_mode="update")

@@ -38,3 +38,14 @@ def test_time_spread(smoke_dir):
     assert len(hours) >= 48
     days = {r["ts"].date() for r in t}
     assert len(days) >= 3  # crosses day boundaries (06:00 shift coverage)
+
+
+def test_ensure_embeddings_unknown_tier_raises():
+    """ADVICE r06: an unsupported synthetic-embeddings tier must raise a
+    descriptive ValueError naming the supported tiers, not a bare KeyError."""
+    import pytest
+
+    from ictspark import synth
+
+    with pytest.raises(ValueError, match="sf1"):
+        synth.ensure_embeddings("sf9")
