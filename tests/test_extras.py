@@ -1276,3 +1276,89 @@ def test_curate_pipeline_explicit_benchmark_frame(spark):
         fdocs, benchmark_docs=fdocs.where(F.col("doc_id") < curation.BENCHMARK_MAX_ID)
     ).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_lm_score_against_separates_noisy(spark):
+    """VERDICT r06 item 5: under a CLEAN-reference bigram LM, noisy docs must
+    rank strictly below clean ones — while SELF-scoring (bigram_logprob over
+    the combined corpus) cannot separate them, because the repeated gibberish
+    boilerplate's bigrams dominate the self-built model. Also pins the
+    refactor: bigram_logprob == lm_score_against(docs, docs) bit-for-bit."""
+    clean_sents = [
+        "the cat sat on the mat and the dog sat on the rug",
+        "the dog ran to the park and the cat ran to the house",
+        "a bird sat in the tree and the cat sat in the grass",
+        "the cat and the dog ran in the park near the house",
+    ]
+    ref = spark.createDataFrame(
+        [(i, clean_sents[i % 4]) for i in range(12)], "doc_id long, text string"
+    )
+    garble = "zqx wvu kjf zqx wvu kjf zqx wvu kjf zqx wvu kjf"
+    test_rows = [(100, clean_sents[0]), (101, clean_sents[1])] + [
+        (200 + i, garble) for i in range(8)  # repeated boilerplate gibberish
+    ]
+    docs = spark.createDataFrame(test_rows, "doc_id long, text string")
+    ref_scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in textstats.lm_score_against(docs, ref).collect()
+    }
+    worst_clean = min(ref_scores[100], ref_scores[101])
+    best_noisy = max(v for k, v in ref_scores.items() if k >= 200)
+    assert best_noisy < worst_clean  # reference model separates
+    # self-scoring the combined corpus: the gibberish (8 of 10 docs) defines
+    # the model, so noisy docs score ABOVE the clean ones — no separation
+    self_scores = {
+        r["doc_id"]: r["avg_logprob"] for r in textstats.bigram_logprob(docs).collect()
+    }
+    assert max(self_scores[k] for k in self_scores if k >= 200) > max(
+        self_scores[100], self_scores[101]
+    )
+    # refactor pin: the self-scoring special case is unchanged
+    a = sorted(map(tuple, textstats.bigram_logprob(ref).collect()))
+    b = sorted(map(tuple, textstats.lm_score_against(ref, ref).collect()))
+    assert a == b
+
+
+def test_mixture_plan_subword_budget_shift(spark):
+    """VERDICT r06 item 7: budgets measured in subword tokens must shift
+    keep decisions where scripts differ — CJK text costs ~1 token/char
+    (~4x its whitespace-token count), Latin ~len/4 per word — while the
+    whitespace tokenizer sees both languages as identical cost."""
+    from ictspark.extras import curation, textstats
+
+    latin_doc = " ".join(f"word{i:02d}" for i in range(10))  # 10 ws toks
+    cjk_doc = " ".join("一二三四五六七八" for _ in range(10))
+    rows = [(i, latin_doc, "en", "s") for i in range(0, 20)] + [
+        (i, cjk_doc, "zh", "s") for i in range(100, 120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    # sanity: the approximation itself — latin word6 -> ceil(6/4)=2 per word;
+    # CJK 8 glyphs -> 8 per "word"
+    sw = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", textstats.subword_count_col().alias("n")
+        ).collect()
+    }
+    assert sw[0] == 20 and sw[100] == 80
+    # ws tokenizer: both langs cost 10/doc -> equal keeps under equal targets
+    ws = curation.mixture_plan(docs, budget_tokens=100)
+    kept_ws = {r["lang"] for r in ws.where("keep").collect()}
+    n_ws = {
+        lang: ws.where((F.col("lang") == lang) & F.col("keep")).count()
+        for lang in ("en", "zh")
+    }
+    assert kept_ws == {"en", "zh"} and n_ws["en"] == n_ws["zh"] == 5
+    # subword: same 50-token-per-lang target now buys 2 latin docs (20/doc)
+    # but 0 full CJK docs -> begin-boundary keeps exactly 1 (overshoot-by-one)
+    swp = curation.mixture_plan(docs, budget_tokens=100, tokenizer="subword")
+    n_sw = {
+        lang: swp.where((F.col("lang") == lang) & F.col("keep")).count()
+        for lang in ("en", "zh")
+    }
+    assert n_sw["en"] == 3 and n_sw["zh"] == 1  # decisions genuinely shifted
+    with pytest.raises(ValueError, match="tokenizer"):
+        curation.mixture_plan(docs, tokenizer="bpe")
+    # pack_sequences takes the same opt-in and packs in subword units
+    ps = curation.pack_sequences(docs.limit(0), tokenizer="subword")
+    assert ps.columns == ["doc_id", "source", "n_tokens", "seq_id", "seq_off"]

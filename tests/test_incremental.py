@@ -1,0 +1,91 @@
+"""Incremental dedup over the persisted MinHash signature store (VERDICT r06
+item 1): the §5.4 resume-equals-cold-run property applied to the curation
+family — N-batch incremental ingest must equal a full recompute bit-for-bit,
+re-ingest must be idempotent, and the store must refuse corruption loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ictspark import io
+from ictspark.extras import incremental
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return io.load_table(spark, SF, "documents").cache()
+
+
+def _kl(df):
+    return sorted(
+        (r["doc_id"], r["component"], r["n_members"], r["keep"]) for r in df.collect()
+    )
+
+
+def test_incremental_equals_full_recompute(spark, docs, tmp_path_factory):
+    """The headline contract: 3 interleaved arrival batches (doc_id mod 3 —
+    near-dup pairs straddle batches, so the new-vs-stored band join is
+    genuinely load-bearing) == one-shot full recompute, including component
+    MERGES across batches; and a different split (2 batches) converges to
+    the identical keep list (arrival order cannot matter)."""
+    full = _kl(incremental.full_recompute(docs))
+    store3 = str(tmp_path_factory.mktemp("incr3"))
+    stats = [
+        incremental.ingest_batch(
+            docs.where(F.col("doc_id") % 3 == i), store3, f"b{i:03d}"
+        )
+        for i in range(3)
+    ]
+    assert sum(s["n_docs"] for s in stats) == docs.count()
+    # later batches must actually find cross-batch pairs via the store
+    assert any(s["n_new_pairs"] > 0 for s in stats[1:])
+    assert _kl(incremental.keep_list(spark, store3)) == full
+    store2 = str(tmp_path_factory.mktemp("incr2"))
+    for i in (1, 0):  # different split AND different arrival order
+        incremental.ingest_batch(
+            docs.where(F.col("doc_id") % 2 == i), store2, f"half{i}"
+        )
+    assert _kl(incremental.keep_list(spark, store2)) == full
+
+
+def test_ingest_idempotent_and_guards(spark, docs, tmp_path_factory):
+    """Re-ingesting a committed batch id is a no-op (checkpoint skip);
+    content drift under a reused id raises; a re-pushed doc_id raises; an
+    empty store refuses keep_list with a clear error."""
+    store = str(tmp_path_factory.mktemp("incr_guards"))
+    with pytest.raises(ValueError, match="no committed batches"):
+        incremental.keep_list(spark, store)
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    s1 = incremental.ingest_batch(b0, store, "b000")
+    assert not s1["skipped"]
+    before = _kl(incremental.keep_list(spark, store))
+    s2 = incremental.ingest_batch(b0, store, "b000")  # same id, same content
+    assert s2["skipped"]
+    assert _kl(incremental.keep_list(spark, store)) == before
+    with pytest.raises(ValueError, match="different\\s+content"):
+        incremental.ingest_batch(
+            docs.where(F.col("doc_id") % 3 == 1), store, "b000"
+        )
+    with pytest.raises(ValueError, match="globally unique"):
+        incremental.ingest_batch(b0.limit(5), store, "b_dup")
+
+
+def test_orphan_labels_snapshot_ignored(spark, docs, tmp_path_factory):
+    """Crash between a labels write and its journal commit: the orphan
+    version dir must be invisible (journal is authoritative) and the batch's
+    retry must overwrite it idempotently."""
+    store = str(tmp_path_factory.mktemp("incr_orphan"))
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    incremental.ingest_batch(b0, store, "b000")
+    after_b0 = _kl(incremental.keep_list(spark, store))
+    # simulate the torn ingest of b001: labels snapshot exists, no commit
+    spark.createDataFrame([(999_999, 999_999)], "doc_id long, component long").write.mode(
+        "overwrite"
+    ).parquet(incremental._labels_path(store, "b001"))
+    assert _kl(incremental.keep_list(spark, store)) == after_b0  # orphan unread
+    incremental.ingest_batch(b1, store, "b001")  # retry overwrites the orphan
+    got = {r["doc_id"] for r in incremental.components(spark, store).collect()}
+    assert 999_999 not in got
+    assert got == {r["doc_id"] for r in b0.unionByName(b1).select("doc_id").collect()}
