@@ -39,31 +39,31 @@ SCALE_CRITICAL = {
 }
 
 
-# The EXACT r06 window (ADVICE r03: pin the full 50-entry list, not just a
+# The EXACT r07 window (ADVICE r03: pin the full 50-entry list, not just a
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
-# r06 fills the window by accumulated-green count ascending over
-# CORRECTNESS_r01..r05: 8 never-graded (six r05 additions +
-# curation_manifest + training_order), 8 once-green r05 debutants, all 25
-# twice-green, 8 thrice-green in registry order — PLUS minhash_lsh_pairs,
-# whose definition changed in r06 (threshold-derived sizing + one-md5
-# integer hash family), so its prior greens no longer attest the code.
-R06_WINDOW = [
-    "bigram_logprob", "semantic_dup_pairs", "semantic_keep_list",
-    "pack_sequences", "mixture_plan", "tool_chain_stats", "curation_manifest",
-    "export_matrix_vertical", "repetition_score", "events_day_0600",
-    "tpch_q1like", "tpch_q5like", "parts_by_brand", "top_customers",
-    "events_sessionize", "product_workbook", "limit_regime_asof",
-    "error_bursts", "tool_latency", "winnow_fingerprint", "winnow_reuse_pairs",
-    "unigram_logprob", "dedup_keep_list", "corpus_mix", "contamination_check",
-    "ann_quantized_rerank", "embedding_norm_stats", "media_dedup",
-    "mb_result_boxes", "events_hourly", "events_shift_buckets",
+# r07 fills the window by accumulated-green count ascending over
+# CORRECTNESS_r01..r06: prototypicality leads (the only 0-green registry
+# entry, added after the r06 grade — VERDICT r06 item 2), then the three
+# r07 additions, the 8 once-green r06 debutants (bigram_logprob and
+# curation_manifest among them — both touched this round, so a fresh grade
+# re-attests them), the 8 twice-green, and the first 30 thrice-green in
+# registry order.
+R07_WINDOW = [
+    "prototypicality", "dedup_incremental", "lm_score_reference",
+    "mixture_plan_subword", "bigram_logprob", "semantic_dup_pairs",
+    "semantic_keep_list", "pack_sequences", "mixture_plan", "tool_chain_stats",
+    "curation_manifest", "training_order", "export_matrix_vertical",
+    "repetition_score", "events_day_0600", "tpch_q1like", "tpch_q5like",
+    "parts_by_brand", "top_customers", "events_sessionize", "product_workbook",
+    "limit_regime_asof", "error_bursts", "tool_latency", "winnow_fingerprint",
+    "winnow_reuse_pairs", "unigram_logprob", "dedup_keep_list", "corpus_mix",
+    "contamination_check", "ann_quantized_rerank", "embedding_norm_stats",
+    "media_dedup", "mb_result_boxes", "events_hourly", "events_shift_buckets",
     "dedup_components", "stratified_sample", "top_terms_per_lang",
     "length_percentiles", "scrub_stats", "ann_multiprobe", "ann_ivf",
-    "embedding_quantize", "media_featurize", "export_matrix_failed",
-    "export_matrix_final_run", "tool_call_stats", "tool_call_args_hist",
-    "retest_marker_parity", "reassembly_check", "conv_turn_stats",
-    "conv_reports", "training_order", "minhash_lsh_pairs",
+    "embedding_quantize", "media_featurize", "dq_report", "first_fail_reports",
+    "role_stats", "hourly_labeled", "step_units",
 ]
 
 
@@ -93,7 +93,7 @@ def test_scale_critical_queries_graded_or_proven():
 
 
 def test_exact_driver_window_pinned():
-    assert list(E.queries())[:50] == R06_WINDOW
+    assert list(E.queries())[:50] == R07_WINDOW
 
 
 def test_every_query_has_an_oracle():
