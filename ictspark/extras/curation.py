@@ -104,6 +104,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 100
     return labels
 
 
+def keep_columns(labels: DataFrame) -> DataFrame:
+    """Labels → the keep-list output shape (doc_id, component, n_members,
+    keep): component sizes via a plain shuffle join on the component key
+    (NOT a broadcast — O(#components) ≈ O(#docs) on a mostly-unique corpus),
+    keeper = the component label itself (min-id by construction of min-label
+    propagation). ONE definition shared by ``dedup_keep_list`` and the
+    incremental store's ``keep_list``/``full_recompute`` (code-review r07:
+    three hand-copies of this block could silently diverge — the
+    incremental/full equality contract would then compare two different
+    definitions)."""
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "n_members",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 def dedup_keep_list(documents: DataFrame) -> DataFrame:
     """The keep/drop decision a dedup pipeline actually emits: per doc, its
     near-dup component, the component size, and whether this doc is the
@@ -112,18 +131,7 @@ def dedup_keep_list(documents: DataFrame) -> DataFrame:
     anti-join the drops; the oracle recomputes components via WITH RECURSIVE,
     so the keep flags are ground-truth-checked end to end."""
     labels = dedup_components(documents)
-    # sizes is O(#components) ≈ O(#docs) on a mostly-unique corpus — a plain
-    # shuffle join on the component key (NOT a broadcast: collecting a
-    # docs-sized table to the driver is exactly the anti-pattern this repo
-    # bans); a count-over-window would also work but the join keeps the
-    # aggregate explicit for the oracle
-    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
-    out = labels.join(sizes, "component").select(
-        "doc_id",
-        "component",
-        "n_members",
-        (F.col("doc_id") == F.col("component")).alias("keep"),
-    )
+    out = keep_columns(labels)
     # materialize the (small: 4 narrow cols × #docs) result eagerly, then
     # release the labels cache dedup_components left persisted — otherwise
     # every invocation leaks one docs-sized cached frame for the session
@@ -342,9 +350,15 @@ def _token_count(tokenizer: str) -> F.Column:
     so budget decisions genuinely shift where scripts differ
     (test_mixture_plan_subword_budget_shift)."""
     if tokenizer == "ws":
-        return F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != "")).cast(
-            "bigint"
-        )
+        # NULL text counts 0 tokens, matching the subword branch — without
+        # the coalesce the two tokenizers disagreed on whether a NULL-text
+        # doc is budgeted at all (code-review r07); oracles coalesce likewise
+        return F.size(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+                lambda t: t != "",
+            )
+        ).cast("bigint")
     if tokenizer == "subword":
         from ictspark.extras.textstats import subword_count_col
 
@@ -571,7 +585,6 @@ def curate_pipeline(
         return df.localCheckpoint(eager=True)
 
     doc_cols = documents.columns
-    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     base = documents.join(quality_score(documents), "doc_id")
     if benchmark_docs is None:
         benchmark_docs = documents.where(F.col("doc_id") < benchmark_max_id)
@@ -641,7 +654,7 @@ def curate_pipeline(
     )
     return (
         documents.select(
-            "doc_id", "lang", "source", F.size(toks).cast("bigint").alias("n_tokens")
+            "doc_id", "lang", "source", _token_count("ws").alias("n_tokens")
         )
         .join(drops, "doc_id", "left")
         .join(packed, "doc_id", "left")

@@ -97,19 +97,22 @@ def _committed(entries: list[dict]) -> list[dict]:
     return [e for e in entries if e.get("status") == "committed"]
 
 
-def _input_sig(batch_docs: DataFrame) -> tuple[int, str]:
-    """(row count, content signature) of a batch — count + mod-2^31 sum +
-    bit_xor of xxhash64(doc_id, text): exactly ``checkpoint._day_stats``'s
-    change-detection algebra (multiset-safe sum that can't overflow ANSI
-    bigint below 2^32 rows, plus an independent 64-bit xor). Any
-    added/removed/edited doc changes it."""
+def _input_sig(batch_docs: DataFrame) -> tuple[int, int, str]:
+    """(row count, distinct doc_id count, content signature) of a batch —
+    count + mod-2^31 sum + bit_xor of xxhash64(doc_id, text): exactly
+    ``checkpoint._day_stats``'s change-detection algebra (multiset-safe sum
+    that can't overflow ANSI bigint below 2^32 rows, plus an independent
+    64-bit xor). Any added/removed/edited doc changes it. The distinct count
+    rides the same single aggregation — it feeds the within-batch
+    duplicate-id guard (code-review r07)."""
     h = F.xxhash64("doc_id", F.coalesce("text", F.lit("\u0000")))
     r = batch_docs.agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
         F.coalesce(F.sum(F.pmod(h, F.lit(2**31))), F.lit(0)).alias("s"),
         F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
     ).first()
-    return int(r["n"]), f"{r['n']}:{r['s']}:{r['x']}"
+    return int(r["n"]), int(r["nd"]), f"{r['n']}:{r['s']}:{r['x']}"
 
 
 def _read_labels(spark: SparkSession, store_dir: str, entries: list[dict]) -> DataFrame | None:
@@ -151,7 +154,7 @@ def ingest_batch(
     spark = batch_docs.sparkSession
     lin = _lineage(store_dir)
     entries = lin.entries()
-    n_docs, sig_str = _input_sig(batch_docs)
+    n_docs, n_distinct, sig_str = _input_sig(batch_docs)
     for e in _committed(entries):
         if e["partition"] == batch_id:
             if e.get("input_sig") != sig_str:
@@ -161,8 +164,28 @@ def ingest_batch(
                     "batch ids are immutable — use a new id for new data"
                 )
             return {"batch": batch_id, "skipped": True, "n_docs": n_docs, "n_new_pairs": 0}
+    if n_distinct != n_docs:
+        # code-review r07: an internally-duplicated batch (upstream retry
+        # glued two files) would otherwise COMMIT — merged signatures,
+        # duplicate label rows, n_members=2 singletons — with no error
+        raise ValueError(
+            f"batch {batch_id!r} contains duplicate doc_ids "
+            f"({n_docs} rows, {n_distinct} distinct): doc_ids must be unique"
+        )
     t0 = time.time()
     k = _auto_k(threshold)
+    # code-review r07: the sizing params are part of the store's identity —
+    # mixing thresholds would read truncated signatures (smaller k: silently
+    # wrong est) or crash on missing columns (larger k); every commit records
+    # (threshold, k) and every ingest must match the store's first commit
+    for e in _committed(entries):
+        if "k" in e and (e.get("k") != k or e.get("threshold") != threshold):
+            raise ValueError(
+                f"store {store_dir!r} was built at threshold={e.get('threshold')} "
+                f"(k={e.get('k')}); this ingest derives k={k} from "
+                f"threshold={threshold} — a store's sizing is immutable, use a "
+                "new store for a new threshold"
+            )
     prior = _read_labels(spark, store_dir, entries)
     if prior is not None:
         n_overlap = batch_docs.select("doc_id").join(prior, "doc_id", "left_semi").count()
@@ -226,21 +249,46 @@ def ingest_batch(
         )
         edges = edges.unionByName(star)
         nodes = prior.select("doc_id").unionByName(new_ids)
-    sym = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
-    labels = connected_components(nodes, sym)
+    # persist + materialize the symmetric edges before CC (the
+    # dedup_components pattern — code-review r07: un-persisted, every
+    # O(diameter) propagation round re-ran this union+distinct shuffle and
+    # re-read the prior labels parquet)
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    new_pairs.unpersist()
+    try:
+        labels = connected_components(nodes, sym)
+    finally:
+        sym.unpersist()
     labels.write.mode("overwrite").parquet(_labels_path(store_dir, batch_id))
     labels.unpersist()
-    new_pairs.unpersist()
     lin.commit(
         batch_id,
         rows=n_docs,
         input_sig=sig_str,
         n_new_pairs=n_new_pairs,
         labels_version=batch_id,
+        threshold=threshold,
+        k=k,
         duration_s=round(time.time() - t0, 3),
     )
+    # prune superseded labels snapshots (code-review r07: O(corpus) rows per
+    # snapshot × one snapshot per batch grows without bound; only the last
+    # committed version is ever read). Keep the new current AND its immediate
+    # predecessor — a reader that grabbed a frame just before this ingest
+    # stays valid; anything older is unreachable via the journal.
+    import shutil
+
+    prev_versions = [e["labels_version"] for e in _committed(entries)]
+    keep_versions = {batch_id} | set(prev_versions[-1:])
+    for v in set(prev_versions) - keep_versions:
+        shutil.rmtree(_labels_path(store_dir, v), ignore_errors=True)
     return {"batch": batch_id, "skipped": False, "n_docs": n_docs, "n_new_pairs": n_new_pairs}
 
 
@@ -256,14 +304,9 @@ def keep_list(spark: SparkSession, store_dir: str) -> DataFrame:
     """The standing keep/drop decision over everything ingested so far:
     (doc_id, component, n_members, keep) — ``curation.dedup_keep_list``'s
     output shape, read from the store instead of recomputed."""
-    labels = components(spark, store_dir)
-    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
-    return labels.join(sizes, "component").select(
-        "doc_id",
-        "component",
-        "n_members",
-        (F.col("doc_id") == F.col("component")).alias("keep"),
-    )
+    from ictspark.extras.curation import keep_columns
+
+    return keep_columns(components(spark, store_dir))
 
 
 def full_recompute(documents: DataFrame, threshold: float = LSH_THRESHOLD) -> DataFrame:
@@ -286,14 +329,9 @@ def full_recompute(documents: DataFrame, threshold: float = LSH_THRESHOLD) -> Da
         labels = connected_components(documents.select("doc_id"), sym)
     finally:
         sym.unpersist()
-    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
-    out = labels.join(sizes, "component").select(
-        "doc_id",
-        "component",
-        "n_members",
-        (F.col("doc_id") == F.col("component")).alias("keep"),
-    )
-    out = out.localCheckpoint(eager=True)
+    from ictspark.extras.curation import keep_columns
+
+    out = keep_columns(labels).localCheckpoint(eager=True)
     labels.unpersist()
     return out
 
@@ -308,14 +346,26 @@ def incremental_keep_list_demo(
     """The graded driver entry (``dedup_incremental``): split the corpus into
     ``n_batches`` deterministic arrival batches (doc_id mod — interleaved,
     so near-dup pairs routinely STRADDLE batches and the new-vs-stored join
-    is genuinely exercised), ingest them in order into a fresh store, and
-    return the standing keep list. Its oracle is the brute
-    est-over-all-pairs + WITH RECURSIVE ground truth over the whole corpus
-    (uncapped) — the driver's hash match proves the batched ingest path
-    equals the one-shot definition."""
+    is genuinely exercised), ingest them in order into a store, and return
+    the standing keep list. Its oracle is the brute est-over-all-pairs +
+    WITH RECURSIVE ground truth over the whole corpus (uncapped) — the
+    driver's hash match proves the batched ingest path equals the one-shot
+    definition.
+
+    The default store dir is DETERMINISTIC in (corpus content, n_batches,
+    threshold) — code-review r07: a fresh mkdtemp per invocation left one
+    full signature store per grading/parity run accumulating under /tmp;
+    keyed on the content signature, a re-run on the same corpus re-enters
+    the same store and every ingest is an idempotent journal skip (which
+    also exercises the resume path for free)."""
+    import hashlib
     import tempfile
 
-    store = store_dir or tempfile.mkdtemp(prefix="ictspark_incr_")
+    store = store_dir
+    if store is None:
+        _, _, sig_str = _input_sig(documents)
+        key = hashlib.md5(f"{sig_str}|{n_batches}|{threshold}".encode()).hexdigest()[:12]
+        store = os.path.join(tempfile.gettempdir(), f"ictspark_incr_demo_{key}")
     for i in range(n_batches):
         ingest_batch(
             documents.where(F.col("doc_id") % n_batches == i), store, f"b{i:03d}", threshold

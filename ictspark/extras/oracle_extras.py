@@ -528,7 +528,7 @@ FROM ranked r JOIN counts c ON r.lang = c.lang"""
     q["mixture_plan"] = f"""
 WITH d AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0) AS BIGINT) AS n_tokens,
          md5(CAST(doc_id AS VARCHAR)) AS mkey
   FROM documents
 ),
@@ -837,7 +837,7 @@ SELECT cent_id, vec_a, vec_b, sim FROM sempairs WHERE sim >= {SEMANTIC_THRESHOLD
     q["pack_sequences"] = f"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         CAST(COALESCE(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0) AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -942,7 +942,7 @@ FROM assign"""
 WITH RECURSIVE
 ntok AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         CAST(COALESCE(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0) AS BIGINT) AS n_tokens
   FROM documents
 ),
 qt AS (

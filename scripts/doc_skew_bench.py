@@ -45,7 +45,15 @@ def skewed_variant(spark, sf_name: str):
     both variants read parquet (same scan cost)."""
     out = os.path.join(synth.SYNTH_ROOT, f"{sf_name}docskew")
     dpath = os.path.join(out, "documents.parquet")
-    if not os.path.isdir(dpath):
+    meta_path = os.path.join(out, "_skew_meta.json")
+    meta = {"hot_pct": HOT_PCT, "hot_lang": HOT_LANG, "hot_source": HOT_SOURCE}
+    fresh = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            fresh = json.load(f) == meta  # stale constants force a rebuild
+            # (code-review r07: dir-existence-only caching silently
+            # benchmarked old data after a constant edit)
+    if not (fresh and os.path.isdir(dpath)):
         os.makedirs(out, exist_ok=True)
         src = synth.ensure_documents(sf_name)
         d = spark.read.parquet(os.path.join(src, "documents.parquet"))
@@ -58,6 +66,8 @@ def skewed_variant(spark, sf_name: str):
             "n_chars",
         )
         d2.repartition(8).write.mode("overwrite").parquet(dpath)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
     return spark.read.parquet(dpath)
 
 

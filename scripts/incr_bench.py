@@ -51,16 +51,29 @@ def main() -> None:
         st = incremental.ingest_batch(b, store, f"b{i:03d}")
         batch_s.append(round(time.time() - t0, 2))
         pair_counts.append(st["n_new_pairs"])
+    def keep_digest(df):
+        """(count, doc_id sum, xxhash64 xor) of the kept SET — a set-level
+        equality check, not just cardinality (code-review r07: equal counts
+        can hide a merge in one place offset by a split in another)."""
+        r = df.where("keep").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("s"),
+            F.bit_xor(F.xxhash64("doc_id", "component")).alias("x"),
+        ).first()
+        return (r["n"], r["s"], r["x"])
+
     t0 = time.time()
     kl = incremental.keep_list(spark, store)
-    n_keep_incr = kl.where("keep").count()
+    d_incr = keep_digest(kl)
     read_s = round(time.time() - t0, 2)
 
     t0 = time.time()
     full = incremental.full_recompute(docs)
-    n_keep_full = full.where("keep").count()
+    d_full = keep_digest(full)
     full_s = round(time.time() - t0, 2)
-    assert n_keep_incr == n_keep_full  # the equality contract, at this tier
+    # the equality contract at this tier: same keeper SET and components
+    assert d_incr == d_full, (d_incr, d_full)
+    n_keep_incr = d_incr[0]
 
     out = {
         "metric": "incremental_dedup_ingest",

@@ -69,6 +69,16 @@ def test_ingest_idempotent_and_guards(spark, docs, tmp_path_factory):
         )
     with pytest.raises(ValueError, match="globally unique"):
         incremental.ingest_batch(b0.limit(5), store, "b_dup")
+    # code-review r07 guards: a store's sizing is immutable — a different
+    # threshold (different k) must be refused, not read truncated signatures
+    with pytest.raises(ValueError, match="sizing is immutable"):
+        incremental.ingest_batch(
+            docs.where(F.col("doc_id") % 3 == 2), store, "b_newthresh", threshold=0.3
+        )
+    # ...and an internally-duplicated batch must be refused before commit
+    dup = b0.limit(3).unionByName(b0.limit(1))
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        incremental.ingest_batch(dup, store, "b_internal_dup")
 
 
 def test_orphan_labels_snapshot_ignored(spark, docs, tmp_path_factory):
