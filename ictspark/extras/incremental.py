@@ -292,6 +292,56 @@ def ingest_batch(
     return {"batch": batch_id, "skipped": False, "n_docs": n_docs, "n_new_pairs": n_new_pairs}
 
 
+def ingest_stream(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    threshold: float = LSH_THRESHOLD,
+    available_now: bool = True,
+):
+    """The ingest path AS A STREAM (r07): a Structured Streaming document
+    source drained into the signature store through ``foreachBatch``, one
+    ``ingest_batch`` per micro-batch with ``batch_id = f"s{epoch_id:09d}"``.
+
+    Exactly-once by COMPOSITION, not by a new mechanism: Spark replays a
+    failed epoch under the SAME epoch_id with the SAME source offsets, so a
+    retry re-enters ``ingest_batch`` under an already-committed batch id with
+    identical content and hits the journal's idempotent skip; a crash BEFORE
+    the store commit re-runs the whole ingest whose writes are overwrite-
+    idempotent. The two journals (Spark's streaming checkpoint and the
+    store's lineage) never disagree observably: the store journal is the
+    authoritative one, and the streaming checkpoint only ever re-offers work
+    the store either skips or safely redoes. This is the same double-journal
+    argument ``checkpoint.run_incremental`` makes for the transcript store
+    (checkpoint.py:208), applied to the curation family.
+
+    Empty micro-batches return without touching the journal (availableNow
+    commonly emits one). The returned ``StreamingQuery`` is live; with the
+    default availableNow trigger it self-terminates when the source is
+    drained — ``query.awaitTermination()`` then read ``keep_list``.
+
+    Scale shape: identical to batch ingest — per-epoch work is
+    O(batch × collision rate) regardless of store size, so a continuous
+    trigger gives standing near-dup maintenance over an arriving corpus with
+    no recompute. Store-side guards (content drift, duplicate/re-pushed
+    doc_ids, sizing immutability) fail the QUERY loudly rather than commit
+    corruption — upstream must fix the feed, exactly like the batch path."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(batch_df, store_dir, f"s{epoch_id:09d}", threshold)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def components(spark: SparkSession, store_dir: str) -> DataFrame:
     """Current (doc_id, component) labels — the last committed snapshot."""
     labels = _read_labels(spark, store_dir, _lineage(store_dir).entries())

@@ -81,6 +81,46 @@ def test_ingest_idempotent_and_guards(spark, docs, tmp_path_factory):
         incremental.ingest_batch(dup, store, "b_internal_dup")
 
 
+def test_stream_ingest_equals_full_recompute(spark, docs, tmp_path_factory):
+    """The ingest path as a stream (r07): a file-source stream drained
+    through ingest_stream (foreachBatch → ingest_batch per epoch) must leave
+    the store equal to a one-shot full recompute; a RESUMED stream over an
+    extended source must ingest only the new file (the streaming checkpoint
+    and the store journal composing, not fighting) and land on the full
+    recompute of the union."""
+    root = tmp_path_factory.mktemp("incr_stream")
+    src = str(root / "src")
+    first = docs.where(F.col("doc_id") % 3 < 2)
+    # one parquet file per arrival batch so maxFilesPerTrigger=1 yields real
+    # multi-epoch ingest (doc_id-disjoint by construction)
+    for i in range(2):
+        first.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store, ck = str(root / "store"), str(root / "ck")
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = incremental.ingest_stream(stream, store, ck)
+    assert q.awaitTermination(120), "availableNow drain did not self-terminate"
+    n_commits = len(incremental._committed(incremental._lineage(store).entries()))
+    assert n_commits == 2  # one epoch per file — the multi-epoch path is real
+    assert _kl(incremental.keep_list(spark, store)) == _kl(
+        incremental.full_recompute(first)
+    )
+    # resume: a third file arrives; the restarted stream must ingest exactly
+    # one more epoch (prior files are in the streaming checkpoint, prior
+    # epochs in the store journal) and converge on the union ground truth
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental.ingest_stream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        store,
+        ck,
+    )
+    assert q2.awaitTermination(120)
+    n_after = len(incremental._committed(incremental._lineage(store).entries()))
+    assert n_after == 3
+    assert _kl(incremental.keep_list(spark, store)) == _kl(incremental.full_recompute(docs))
+
+
 def test_orphan_labels_snapshot_ignored(spark, docs, tmp_path_factory):
     """Crash between a labels write and its journal commit: the orphan
     version dir must be invisible (journal is authoritative) and the batch's
