@@ -139,3 +139,69 @@ def test_orphan_labels_snapshot_ignored(spark, docs, tmp_path_factory):
     got = {r["doc_id"] for r in incremental.components(spark, store).collect()}
     assert 999_999 not in got
     assert got == {r["doc_id"] for r in b0.unionByName(b1).select("doc_id").collect()}
+
+
+def test_store_format_and_bucket_guards(spark, docs, tmp_path_factory):
+    """v2 layout guards (r08): a store written by an older format version is
+    refused loudly (ADVICE r07 — a layout/minhash-family change must never
+    serve stale band rows); the bucket count is part of the on-disk layout
+    and immutable; and the sizing-immutability check runs BEFORE the
+    committed-id idempotent skip, so re-ingesting an already-committed id
+    under a different threshold raises instead of silently no-opping
+    (ADVICE r07)."""
+    store = str(tmp_path_factory.mktemp("incr_v2"))
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    st = incremental.ingest_batch(b0, store, "b000")
+    # the stats expose the pruning/occupancy observables
+    for key in (
+        "touched_buckets", "read_bytes_stored", "n_collisions",
+        "max_bucket_occupancy", "n_hot_buckets_capped",
+        "t_sig_s", "t_cand_s", "t_cc_s", "t_labels_s",
+    ):
+        assert key in st, key
+    assert st["read_bytes_stored"] == 0  # first batch: nothing stored yet
+    assert st["max_bucket_occupancy"] >= 1
+    st2 = incremental.ingest_batch(docs.where(F.col("doc_id") % 3 == 1), store, "b001")
+    assert st2["read_bytes_stored"] > 0  # second batch reads the b000 buckets
+    assert 0 < st2["touched_buckets"] <= incremental.STORE_BUCKETS
+    # sizing check precedes the committed-id skip: SAME id, SAME content,
+    # different threshold → the sizing error, not a silent skip
+    with pytest.raises(ValueError, match="sizing is immutable"):
+        incremental.ingest_batch(b0, store, "b000", threshold=0.3)
+    # bucket count is immutable per store
+    with pytest.raises(ValueError, match="bucket count"):
+        incremental.ingest_batch(
+            docs.where(F.col("doc_id") % 3 == 2), store, "b002", n_buckets=8
+        )
+    # an old-format journal line is refused before any read or write
+    lin = incremental._lineage(store)
+    lin.commit("b_old", labels_version="b_old", input_sig="x", threshold=0.2,
+               k=42, format=1, n_buckets=64)
+    with pytest.raises(ValueError, match="store-format"):
+        incremental.ingest_batch(
+            docs.where(F.col("doc_id") % 3 == 2), store, "b002"
+        )
+
+
+def test_hot_bucket_cap(spark, docs, tmp_path_factory):
+    """ADVICE r07 (medium): the join-time hot-bucket occupancy cap. With a
+    cap no bucket can exceed, results are bit-equal to the uncapped path
+    (the cap only ever REMOVES candidate rows, so a non-binding cap is a
+    no-op); with a cap of 1 every shared bucket is excluded, so no pairs
+    survive — the two ends of the recall trade, both loud in the stats."""
+    full = _kl(incremental.full_recompute(docs))
+    store_hi = str(tmp_path_factory.mktemp("incr_cap_hi"))
+    stats = [
+        incremental.ingest_batch(
+            docs.where(F.col("doc_id") % 2 == i), store_hi, f"b{i}",
+            hot_bucket_cap=10**9,
+        )
+        for i in range(2)
+    ]
+    assert all(s["n_hot_buckets_capped"] == 0 for s in stats)
+    assert _kl(incremental.keep_list(spark, store_hi)) == full
+    store_lo = str(tmp_path_factory.mktemp("incr_cap_lo"))
+    st = incremental.ingest_batch(docs, store_lo, "b0", hot_bucket_cap=1)
+    assert st["n_new_pairs"] == 0  # every occupied bucket has ≥2 rows or no pair
+    assert st["n_hot_buckets_capped"] > 0
+    assert st["max_bucket_occupancy"] > 1
