@@ -27,16 +27,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ictspark.extras.dedup import minhash_lsh_pairs
+from ictspark.extras.dedup import MAX_SHINGLE_DF, minhash_lsh_pairs
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 
 
-def dedup_components(documents: DataFrame, max_iter: int = 100) -> DataFrame:
+def dedup_components(
+    documents: DataFrame, max_iter: int = 100, max_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
     """(doc_id, component) for every doc; component = min doc_id reachable in
-    the MinHash-LSH near-dup candidate graph (singletons map to themselves)."""
-    pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b").persist()
+    the MinHash-LSH near-dup candidate graph (singletons map to themselves).
+    ``max_df`` passes through to the shingle df-cap — ``None`` gives the
+    uncapped, per-doc-pure pair definition the incremental stores use."""
+    pairs = minhash_lsh_pairs(documents, max_df=max_df).select("doc_a", "doc_b").persist()
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -123,14 +127,16 @@ def keep_columns(labels: DataFrame) -> DataFrame:
     )
 
 
-def dedup_keep_list(documents: DataFrame) -> DataFrame:
+def dedup_keep_list(documents: DataFrame, max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """The keep/drop decision a dedup pipeline actually emits: per doc, its
     near-dup component, the component size, and whether this doc is the
     canonical keeper (min doc_id of the component — the component label
     itself, by construction of min-label propagation). Downstream consumers
     anti-join the drops; the oracle recomputes components via WITH RECURSIVE,
-    so the keep flags are ground-truth-checked end to end."""
-    labels = dedup_components(documents)
+    so the keep flags are ground-truth-checked end to end. ``max_df=None``
+    gives the uncapped pair definition (per-doc-pure signatures — the form
+    the incremental stores maintain and their one-shot oracles restate)."""
+    labels = dedup_components(documents, max_df=max_df)
     out = keep_columns(labels)
     # materialize the (small: 4 narrow cols × #docs) result eagerly, then
     # release the labels cache dedup_components left persisted — otherwise
@@ -367,7 +373,10 @@ def _token_count(tokenizer: str) -> F.Column:
 
 
 def pack_sequences(
-    documents: DataFrame, window: int = PACK_WINDOW, tokenizer: str = "ws"
+    documents: DataFrame,
+    window: int = PACK_WINDOW,
+    tokenizer: str = "ws",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing — the pretraining-pipeline step that concatenates
     documents into fixed-size token windows for training-example
@@ -393,11 +402,15 @@ def pack_sequences(
     partitioning the window above already produced. The DuckDB oracle
     computes the single-window definition; parity proves the two-phase form
     equal. ``tokenizer``: 'ws' (default, whitespace) or 'subword'
-    (``_token_count`` — budgets in tokenizer-token units)."""
+    (``_token_count`` — budgets in tokenizer-token units). ``tokens_col``
+    names an already-computed per-doc token-count column instead — the
+    incremental manifest's facts path, where counts were computed ONCE at
+    ingest and the text column is no longer at hand."""
+    ntok = F.col(tokens_col).cast("bigint") if tokens_col else _token_count(tokenizer)
     d = documents.select(
         "doc_id",
         "source",
-        _token_count(tokenizer).alias("n_tokens"),
+        ntok.alias("n_tokens"),
         F.floor(F.col("doc_id") / PACK_BUCKET).alias("bkt"),
     )
     w_local = (
@@ -435,6 +448,7 @@ def mixture_plan(
     budget_tokens: int = MIX_BUDGET_TOKENS,
     weights: dict[str, float] | None = None,
     tokenizer: str = "ws",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-budgeted weighted mixture plan — the general form of
     ``corpus_mix``: given target WEIGHTS per language (default: uniform over
@@ -454,12 +468,15 @@ def mixture_plan(
     cumulative bucket-offset table; bucket order IS key order, so the global
     prefix sum is exact and the single-window oracle stays hash-identical.
     No whole-language window anywhere. ``tokenizer``: 'ws' (default) or
-    'subword' — the unit the budget line is measured in (``_token_count``)."""
+    'subword' — the unit the budget line is measured in (``_token_count``);
+    ``tokens_col`` instead names an already-computed count column (the
+    incremental manifest's facts path)."""
     key = F.md5(F.col("doc_id").cast("string"))
+    ntok = F.col(tokens_col).cast("bigint") if tokens_col else _token_count(tokenizer)
     d = documents.select(
         "doc_id",
         "lang",
-        _token_count(tokenizer).alias("n_tokens"),
+        ntok.alias("n_tokens"),
         key.alias("mkey"),
         F.substring(key, 1, 2).alias("bkt"),
     )
@@ -519,6 +536,7 @@ def curate_pipeline(
     benchmark_max_id: int = BENCHMARK_MAX_ID,
     budget_tokens: int = CURATE_BUDGET_TOKENS,
     benchmark_docs: DataFrame | None = None,
+    near_dup_max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """The END-TO-END curation manifest (VERDICT r05 item 2): the operators
     this module and its siblings provide, CHAINED the way a 100 TB
@@ -547,7 +565,14 @@ def curate_pipeline(
                          LSH candidates → connected components → min-id
                          keeper; computed on survivors, so a cluster whose
                          lowest-id member was already dropped elects a new
-                         keeper instead of silently dropping everyone;
+                         keeper instead of silently dropping everyone.
+                         ``near_dup_max_df`` passes through to the shingle
+                         df-cap: the default keeps the one-shot graded
+                         definition; ``None`` is the uncapped, per-doc-pure
+                         form — the definition the INCREMENTAL manifest
+                         (extras/incr_curation.py) maintains, because a
+                         corpus-dependent cap would change already-stored
+                         signatures as the corpus grows;
       5. 'contaminated'  shares ≥1 word-trigram shingle with the benchmark
                          set (uncapped — mass contamination must stay
                          visible, the r04 rule);
@@ -615,7 +640,7 @@ def curate_pipeline(
     )
     s3 = _ckpt(s2k.where(F.col("doc_id") == F.col("keeper")).select(*doc_cols))
 
-    nd = dedup_keep_list(s3)
+    nd = dedup_keep_list(s3, max_df=near_dup_max_df)
     drops_near = nd.where(~F.col("keep")).select(
         "doc_id", F.lit("near_dup").alias("drop_reason")
     )

@@ -140,6 +140,10 @@ def _bands_root(store_dir: str) -> str:
     return os.path.join(store_dir, "bands")
 
 
+def _pairs_root(store_dir: str) -> str:
+    return os.path.join(store_dir, "pairs")
+
+
 def _labels_path(store_dir: str, version: str) -> str:
     return os.path.join(store_dir, "labels", f"v={version}")
 
@@ -310,6 +314,11 @@ def ingest_batch(
     batch_path = os.path.join(_bands_root(store_dir), f"batch={batch_id}")
     (
         _band_rows(minhash_signatures(batch_docs, k, max_df=None), k, n_buckets)
+        # ONE task per bucket before partitionBy, else every write task
+        # splits into every bucket dir — n_tasks × n_buckets tiny files per
+        # batch (measured: a 5-batch sf1 store hit ~10k files and the
+        # listing dominated every later ingest's stored-side read)
+        .repartition(n_buckets, "bb")
         .sortWithinPartitions("bb", "band", "bkey")
         .write.mode("overwrite")
         .partitionBy("bb")
@@ -335,12 +344,15 @@ def ingest_batch(
             for bb in touched:
                 read_bytes += _dir_bytes(os.path.join(root, f"batch={cid}", f"bb={bb}"))
     # hot-bucket guard (ADVICE r07): occupancy over everything entering the
-    # candidate join; always observable, optionally capping
+    # candidate join when capping; when NOT capping, only the new side is
+    # aggregated (O(batch) — a corpus-wide hot key shows up in every batch
+    # in proportion, and n_collisions below is the direct join-blowup
+    # observable) so the stored side isn't scanned an extra time per ingest
     n_hot = 0
-    occ_src = b_new.select("band", "bkey")
-    if stored is not None:
-        occ_src = occ_src.unionByName(stored.select("band", "bkey"))
     if hot_bucket_cap is not None:
+        occ_src = b_new.select("band", "bkey")
+        if stored is not None:
+            occ_src = occ_src.unionByName(stored.select("band", "bkey"))
         occ = occ_src.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("occ")).persist()
         max_occ = (occ.agg(F.max("occ")).first() or [0])[0] or 0
         hot = occ.where(F.col("occ") > hot_bucket_cap).select("band", "bkey")
@@ -354,7 +366,7 @@ def ingest_batch(
         occ.unpersist()
     else:
         max_occ = (
-            occ_src.groupBy("band", "bkey")
+            b_new.groupBy("band", "bkey")
             .agg(F.count(F.lit(1)).alias("occ"))
             .agg(F.max("occ"))
             .first()
@@ -395,6 +407,15 @@ def ingest_batch(
     )
     n_new_pairs = new_pairs.count()
     pair_counts.unpersist()
+    # persist the batch's NEW pairs as part of the store (r08): each pair is
+    # found exactly once (new-vs-new when both endpoints arrive together,
+    # new-vs-stored otherwise), so the union over committed batches IS the
+    # standing est≥threshold pair set over everything ingested — the compact
+    # state downstream incremental consumers (the curation manifest) rebuild
+    # their decisions from. Overwrite keeps crash-retries idempotent.
+    new_pairs.write.mode("overwrite").parquet(
+        os.path.join(_pairs_root(store_dir), f"batch={batch_id}")
+    )
     t_cand = time.time()
     # (c) exact label maintenance, scoped to the TOUCHED subgraph (r08):
     # only prior components sharing a doc with a new pair re-converge (as
@@ -555,6 +576,22 @@ def components(spark: SparkSession, store_dir: str) -> DataFrame:
     if labels is None:
         raise ValueError(f"signature store {store_dir!r} has no committed batches")
     return labels
+
+
+def pairs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The standing (doc_a, doc_b) est≥threshold pair set over every
+    committed batch — the union of each ingest's NEW pairs (each pair is
+    found exactly once; see ``ingest_batch``). Journal-gated: an orphan
+    pairs dir from a torn ingest is never read."""
+    comm = _committed(_lineage(store_dir).entries())
+    if not comm:
+        raise ValueError(f"signature store {store_dir!r} has no committed batches")
+    root = _pairs_root(store_dir)
+    return (
+        spark.read.option("basePath", root)
+        .parquet(*[os.path.join(root, f"batch={e['partition']}") for e in comm])
+        .select("doc_a", "doc_b")
+    )
 
 
 def keep_list(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -938,7 +938,13 @@ FROM assign"""
     _mix_target = (
         f"CAST(round((1.0 / (SELECT n_langs FROM nl5)) * {CURATE_BUDGET_TOKENS}) AS BIGINT)"
     )
-    q["curation_manifest"] = f"""
+    def _manifest_sql(nd_src: str) -> str:
+        """The composed-pipeline CTE chain, parameterized on the near-dup
+        shingle source: "sh3" (df-capped — the one-shot graded definition)
+        or "sh3_all" (uncapped — the per-doc-pure definition the INCREMENTAL
+        manifest maintains; the df-cap is corpus-dependent, so a frozen
+        store can't use it). Same chain otherwise, stage for stage."""
+        return f"""
 WITH RECURSIVE
 ntok AS (
   SELECT doc_id,
@@ -978,7 +984,7 @@ s3 AS (
 {_trigram_ctes("s3", "sh3")},
 hv3 AS (
   SELECT doc_id, v >> 30 AS hi, v & 1073741823 AS lo FROM (
-    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS v FROM sh3
+    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS v FROM {nd_src}
   )
 ),
 sig3 AS (SELECT doc_id, {_mh_cols} FROM hv3 GROUP BY 1),
@@ -1045,5 +1051,10 @@ FROM documents d
 JOIN ntok n ON d.doc_id = n.doc_id
 LEFT JOIN reasons r ON d.doc_id = r.doc_id
 LEFT JOIN packed p ON d.doc_id = p.doc_id"""
+
+    q["curation_manifest"] = _manifest_sql("sh3")
+    # incremental manifest (r08): the ORACLE is the one-shot chain — the
+    # driver's hash match proves N-batch ingest == the one-shot definition
+    q["curation_manifest_incremental"] = _manifest_sql("sh3_all")
 
     return q

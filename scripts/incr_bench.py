@@ -1,15 +1,33 @@
-"""Incrementality evidence for the MinHash signature store (r07).
+"""Incrementality evidence for the MinHash signature store (r07; v2 layout r08).
 
 The claim extras/incremental.py makes: ingesting a NEW batch costs O(new ×
-collision rate), not O(corpus) — because stored docs are never re-shingled,
-never re-signatured, and never joined old-vs-old. This script ingests the
-sf1 corpus (50k docs) in N equal doc_id-striped batches, times EACH ingest,
-then times the one-shot ``full_recompute`` over the same corpus. The
-steady-state ingest (the LAST batch: new batch vs the largest store) versus
-the full recompute is the number a 100 TB operator cares about: it bounds
-the per-arrival cost of keeping the keep-list current.
+collision rate) COMPUTE, not O(corpus) — stored docs are never re-shingled,
+never re-signatured, never joined old-vs-old, and label re-convergence is
+scoped to the touched components. The v2 layout adds the I/O claim: the
+stored-side read is a narrow (3-column) scan pruned to the bb buckets the
+new batch touches, never shuffled when the batch is broadcastable.
 
-Usage: python scripts/incr_bench.py [sf_name] [n_batches]   (default sf1 5)
+Two regimes, both printed:
+  1. bulk: N equal doc_id-striped batches over the whole corpus — per-batch
+     wall time, per-phase split (sig/cand/cc/labels), per-batch NEW pairs
+     (the irreducible output: later batches genuinely find more cross-batch
+     dups), and stored-side read bytes. Then full_recompute for the
+     steady-state ratio and the set-level equality assert.
+  2. trickle: tiny batches (the standing-ingest steady state) into the
+     store built in (1), at the same bucket count — read_bytes_stored vs
+     the total store size shows the directory pruning bite
+     (≈ 1 - e^(-keys/n_buckets) of the store read per ingest).
+
+  3. pruning demo: a SEPARATE 256-bucket store over the sf0.1 documents,
+     then single-doc ingests — 42 band keys over 256 buckets touch ~40
+     directories, so each ingest reads ~15% of the store (the fraction,
+     not the absolute bytes, is the mechanism evidence; at the default 64
+     buckets a 42-key doc already touches ~half the directories, and the
+     fanout-vs-file-count trade is the knob — Iceberg metadata pruning is
+     the production replacement for directory fanout).
+
+Usage: python scripts/incr_bench.py [sf_name] [n_batches] [n_trickle]
+       (default sf1 5 4; trickle batches are 8 docs each)
 Prints one JSON line; paste into BENCH/BASELINE.md.
 """
 
@@ -29,10 +47,25 @@ from ictspark import synth
 from ictspark.extras import incremental
 from ictspark.session import get_spark
 
+TRICKLE_DOCS = 8  # docs per trickle batch — small enough that bucket pruning bites
+
+
+def keep_digest(df):
+    """(count, doc_id sum, xxhash64 xor) of the kept SET — a set-level
+    equality check, not just cardinality (code-review r07: equal counts
+    can hide a merge in one place offset by a split in another)."""
+    r = df.where("keep").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("s"),
+        F.bit_xor(F.xxhash64("doc_id", "component")).alias("x"),
+    ).first()
+    return (r["n"], r["s"], r["x"])
+
 
 def main() -> None:
     sf_name = sys.argv[1] if len(sys.argv) > 1 else "sf1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n_trickle = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(cpus=cpus, app="ictspark-incr-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,23 +77,63 @@ def main() -> None:
 
     store = tempfile.mkdtemp(prefix="ictspark_incr_bench_")
     batch_s: list[float] = []
+    phases: list[dict] = []
     pair_counts: list[int] = []
+    read_mb: list[float] = []
+    # trickle docs are held OUT of the bulk corpus so their later ingest is
+    # fresh data, not a re-push
+    n_held = n_trickle * TRICKLE_DOCS
+    bulk = docs.where(F.col("doc_id") >= n_held)
+    held = docs.where(F.col("doc_id") < n_held)
     for i in range(n_batches):
-        b = docs.where(F.col("doc_id") % n_batches == i)
+        b = bulk.where(F.col("doc_id") % n_batches == i)
         t0 = time.time()
         st = incremental.ingest_batch(b, store, f"b{i:03d}")
         batch_s.append(round(time.time() - t0, 2))
         pair_counts.append(st["n_new_pairs"])
-    def keep_digest(df):
-        """(count, doc_id sum, xxhash64 xor) of the kept SET — a set-level
-        equality check, not just cardinality (code-review r07: equal counts
-        can hide a merge in one place offset by a split in another)."""
-        r = df.where("keep").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("doc_id").alias("s"),
-            F.bit_xor(F.xxhash64("doc_id", "component")).alias("x"),
-        ).first()
-        return (r["n"], r["s"], r["x"])
+        read_mb.append(round(st["read_bytes_stored"] / 1e6, 2))
+        phases.append({k: st[k] for k in ("t_sig_s", "t_cand_s", "t_cc_s", "t_labels_s")})
+        print(f"bulk {i}: {batch_s[-1]}s {phases[-1]} pairs={st['n_new_pairs']} read_mb={read_mb[-1]}", file=sys.stderr, flush=True)
+
+    store_mb = round(incremental._dir_bytes(incremental._bands_root(store)) / 1e6, 2)
+    trickle = []
+    for i in range(n_trickle):
+        b = held.where((F.col("doc_id") % n_trickle) == i)
+        t0 = time.time()
+        st = incremental.ingest_batch(b, store, f"t{i:03d}")
+        trickle.append(
+            {
+                "s": round(time.time() - t0, 2),
+                "docs": st["n_docs"],
+                "touched_buckets": st["touched_buckets"],
+                "read_mb": round(st["read_bytes_stored"] / 1e6, 2),
+                "store_frac_read": round(st["read_bytes_stored"] / max(store_mb * 1e6, 1), 3),
+            }
+        )
+        print(f"trickle {i}: {trickle[-1]}", file=sys.stderr, flush=True)
+
+    # regime 3: pruning-bite demo on a high-bucket store (sf0.1 corpus)
+    demo_src = synth.ensure_documents("sf0.1")
+    ddocs = spark.read.parquet(os.path.join(demo_src, "documents.parquet"))
+    dstore = tempfile.mkdtemp(prefix="ictspark_incr_prune_")
+    DEMO_NB = 256
+    incremental.ingest_batch(
+        ddocs.where(F.col("doc_id") >= 4), dstore, "bulk", n_buckets=DEMO_NB
+    )
+    dstore_b = incremental._dir_bytes(incremental._bands_root(dstore))
+    prune_demo = []
+    for i in range(4):
+        st = incremental.ingest_batch(
+            ddocs.where(F.col("doc_id") == i), dstore, f"one{i}", n_buckets=DEMO_NB
+        )
+        prune_demo.append(
+            {
+                "touched_buckets": st["touched_buckets"],
+                "n_buckets": DEMO_NB,
+                "store_frac_read": round(st["read_bytes_stored"] / max(dstore_b, 1), 3),
+            }
+        )
+        print(f"prune {i}: {prune_demo[-1]}", file=sys.stderr, flush=True)
 
     t0 = time.time()
     kl = incremental.keep_list(spark, store)
@@ -72,16 +145,24 @@ def main() -> None:
     d_full = keep_digest(full)
     full_s = round(time.time() - t0, 2)
     # the equality contract at this tier: same keeper SET and components
+    # (bulk + trickle batches together cover the whole corpus)
     assert d_incr == d_full, (d_incr, d_full)
     n_keep_incr = d_incr[0]
 
     out = {
         "metric": "incremental_dedup_ingest",
+        "store_format": incremental.STORE_FORMAT,
+        "n_buckets": incremental.STORE_BUCKETS,
         "sf": sf_name,
         "docs": n,
         "n_batches": n_batches,
         "batch_s": batch_s,
+        "batch_phases": phases,
         "new_pairs_per_batch": pair_counts,
+        "stored_read_mb_per_batch": read_mb,
+        "store_total_mb": store_mb,
+        "trickle": trickle,
+        "prune_demo": prune_demo,
         "keep_list_read_s": read_s,
         "full_recompute_s": full_s,
         "last_batch_vs_full": round(batch_s[-1] / full_s, 3),
