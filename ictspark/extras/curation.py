@@ -537,6 +537,7 @@ def curate_pipeline(
     budget_tokens: int = CURATE_BUDGET_TOKENS,
     benchmark_docs: DataFrame | None = None,
     near_dup_max_df: int | None = MAX_SHINGLE_DF,
+    gopher: bool = False,
 ) -> DataFrame:
     """The END-TO-END curation manifest (VERDICT r05 item 2): the operators
     this module and its siblings provide, CHAINED the way a 100 TB
@@ -559,6 +560,15 @@ def curate_pipeline(
       2. 'quality'       textstats.quality_score < quality_min (per-doc
                          score — corpus-independent, so stage order cannot
                          change it);
+      2b. 'gopher'       (only when ``gopher=True``) fails any rule of the
+                         published Gopher/RefinedWeb battery
+                         (textstats.gopher_rules — Rae et al. 2021 §A1.1).
+                         Per-doc and corpus-independent like stage 2, so it
+                         slots between quality and the corpus-dependent
+                         stages without changing their semantics; OFF by
+                         default so the graded one-shot manifest (and the
+                         incremental manifest whose oracle it is) are
+                         unchanged;
       3. 'exact_dup'     non-keeper of an md5(lower(trim(text))) group
                          among stage-2 survivors (keeper = min doc_id);
       4. 'near_dup'      dedup_keep_list over stage-3 survivors — MinHash-
@@ -632,6 +642,15 @@ def curate_pipeline(
     )
     s2 = _ckpt(base.where(~is_bench & ~is_lowq).select(*doc_cols))
 
+    if gopher:
+        from ictspark.extras.textstats import gopher_rules
+
+        gr = gopher_rules(s2).select("doc_id", "pass_gopher")
+        drops_gopher = gr.where(~F.col("pass_gopher")).select(
+            "doc_id", F.lit("gopher").alias("drop_reason")
+        )
+        s2 = _ckpt(s2.join(gr.where(F.col("pass_gopher")).select("doc_id"), "doc_id"))
+
     s2f = s2.withColumn("fp", F.md5(F.lower(F.trim("text"))))
     keepers = s2f.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     s2k = s2f.join(keepers, "fp")
@@ -673,6 +692,11 @@ def curate_pipeline(
     drops = (
         drops_bench.unionByName(drops_quality)
         .unionByName(drops_exact)
+    )
+    if gopher:
+        drops = drops.unionByName(drops_gopher)
+    drops = (
+        drops
         .unionByName(drops_near)
         .unionByName(drops_cont)
         .unionByName(drops_budget)

@@ -589,6 +589,66 @@ SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_shingles,
 FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
 LEFT JOIN hits h ON d.doc_id = h.doc_id"""
 
+    from ictspark.extras.textstats import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_DUP_PARA_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    gsw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    q["gopher_rules"] = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), w -> w <> '') AS words,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(string_split(coalesce(text, ''), chr(10) || chr(10)), p -> trim(p) <> '') AS paras,
+    len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) AS n_sym
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0 / NULLIF(len(words), 0), 4) AS mean_word_len,
+    ROUND(n_sym * 1.0 / NULLIF(len(words), 0), 4) AS symbol_word_ratio,
+    ROUND(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+          / NULLIF(len(lines), 0), 4) AS bullet_line_frac,
+    ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) * 1.0
+          / NULLIF(len(lines), 0), 4) AS ellipsis_line_frac,
+    ROUND(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0
+          / NULLIF(len(words), 0), 4) AS alpha_word_frac,
+    CAST(len(list_filter([{gsw}], s -> list_contains(words, s))) AS BIGINT) AS stopword_hits,
+    ROUND((len(lines) - len(list_distinct(lines))) * 1.0 / NULLIF(len(lines), 0), 4) AS dup_line_frac,
+    ROUND((len(paras) - len(list_distinct(paras))) * 1.0 / NULLIF(len(paras), 0), 4) AS dup_para_frac
+  FROM g
+),
+f AS (
+  SELECT *,
+    COALESCE(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}, FALSE) AS pass_word_count,
+    COALESCE(mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}, FALSE) AS pass_mean_word_len,
+    COALESCE(symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}, FALSE) AS pass_symbol_ratio,
+    COALESCE(bullet_line_frac <= {GOPHER_MAX_BULLET_FRAC}, FALSE) AS pass_bullet,
+    COALESCE(ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}, FALSE) AS pass_ellipsis,
+    COALESCE(alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS pass_alpha,
+    stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS pass_stopwords,
+    COALESCE(dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}, FALSE) AS pass_dup_lines,
+    COALESCE(dup_para_frac <= {GOPHER_MAX_DUP_PARA_FRAC}, FALSE) AS pass_dup_paras
+  FROM v
+)
+SELECT *,
+  (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio AND pass_bullet
+   AND pass_ellipsis AND pass_alpha AND pass_stopwords AND pass_dup_lines
+   AND pass_dup_paras) AS pass_gopher
+FROM f"""
+
     q["repetition_score"] = f"""
 WITH {_TOKS},
 tri AS (
@@ -804,6 +864,51 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
        ROUND(AVG(ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + (SELECT vsize FROM rv)))), 6) AS avg_logprob
 FROM sb LEFT JOIN rbig USING (t1, t2) LEFT JOIN runi USING (t1)
 GROUP BY 1"""
+
+    # NB quality classifier (r08): multinomial NB trained on the %5==0
+    # (clean) and reversed-%5==1 (noisy) splits, scoring the %5>=2 rest;
+    # equal priors, add-one smoothing over the JOINT training vocabulary
+    q["nb_quality_score"] = """
+WITH ctoks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE doc_id % 5 = 0
+  ) WHERE token <> ''
+),
+ntoks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(reverse(lower(text)), ' ')) AS token
+    FROM documents WHERE doc_id % 5 = 1
+  ) WHERE token <> ''
+),
+cc AS (SELECT token, COUNT(*) AS c_clean FROM ctoks GROUP BY 1),
+nc AS (SELECT token, COUNT(*) AS c_noisy FROM ntoks GROUP BY 1),
+model AS (
+  SELECT COALESCE(cc.token, nc.token) AS token,
+         COALESCE(c_clean, 0) AS c_clean, COALESCE(c_noisy, 0) AS c_noisy
+  FROM cc FULL OUTER JOIN nc ON cc.token = nc.token
+),
+tot AS (
+  SELECT CAST(SUM(c_clean) AS DOUBLE) AS n_clean,
+         CAST(SUM(c_noisy) AS DOUBLE) AS n_noisy,
+         CAST(COUNT(*) AS DOUBLE) AS vsize
+  FROM model
+),
+stoks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE doc_id % 5 >= 2
+  ) WHERE token <> ''
+),
+scored AS (
+  SELECT s.doc_id,
+         ln((COALESCE(m.c_clean, 0) + 1.0) / (t.n_clean + t.vsize))
+         - ln((COALESCE(m.c_noisy, 0) + 1.0) / (t.n_noisy + t.vsize)) AS llr
+  FROM stoks s LEFT JOIN model m USING (token) CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(llr), 6) AS avg_llr,
+       ROUND(AVG(llr), 6) > 0 AS pred_clean
+FROM scored GROUP BY 1"""
 
     # SemDeDup (cluster-blocked semantic dedup): the fixed-subset coarse
     # quantizer makes the assignment — and therefore the whole operator —

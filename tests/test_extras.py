@@ -1362,3 +1362,107 @@ def test_mixture_plan_subword_budget_shift(spark):
     # pack_sequences takes the same opt-in and packs in subword units
     ps = curation.pack_sequences(docs.limit(0), tokenizer="subword")
     assert ps.columns == ["doc_id", "source", "n_tokens", "seq_id", "seq_off"]
+
+
+def test_gopher_rules_planted_violations(spark):
+    """Each planted pathology fails EXACTLY the rules it violates (Rae et al.
+    2021 §A1.1 battery). Clean prose with >=50 words passes everything."""
+    clean = (
+        "the quick brown fox jumps over that lazy dog and then runs back to "
+        "the barn with plenty of energy to spare because morning exercise "
+        "must be part of every healthy routine that animals keep and the "
+        "fox would have kept going all day with joy and fine steady pace"
+    )
+    dup_lines = "\n".join(["this line repeats itself verbatim"] * 9 + ["a unique closer"])
+    dup_paras = "\n\n".join(["para one repeats.\nsecond row."] * 4 + ["fresh paragraph."])
+    symbol_soup = " ".join(["### ... ##"] * 30)
+    bullets = "\n".join(["- item %d" % i for i in range(20)])
+    ellipses = "\n".join(["trailing thought %d..." % i for i in range(10)])
+    numbers = " ".join(str(i) for i in range(80))
+    short = "too few words here"
+    rows = [
+        (0, clean), (1, dup_lines), (2, dup_paras), (3, symbol_soup),
+        (4, bullets), (5, ellipses), (6, numbers), (7, short), (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textstats.gopher_rules(df).collect()}
+
+    assert out[0]["pass_gopher"], out[0]
+    assert not out[1]["pass_dup_lines"] and out[1]["dup_line_frac"] == 0.8
+    assert not out[2]["pass_dup_paras"] and out[2]["dup_para_frac"] == 0.6
+    assert not out[3]["pass_symbol_ratio"] and not out[3]["pass_alpha"]
+    assert not out[4]["pass_bullet"] and out[4]["bullet_line_frac"] == 1.0
+    assert not out[5]["pass_ellipsis"] and out[5]["ellipsis_line_frac"] == 1.0
+    assert not out[6]["pass_alpha"] and not out[6]["pass_stopwords"]
+    assert not out[7]["pass_word_count"] and out[7]["n_words"] == 4
+    # NULL text: zero words, every ratio NULL -> every flag false, not a crash
+    assert out[8]["n_words"] == 0 and not out[8]["pass_gopher"]
+    # the planted pathologies each PASS the rules they don't violate
+    assert out[1]["pass_word_count"] is False  # 7 words/line * 10 lines < 50
+    assert out[4]["pass_dup_lines"] and out[5]["pass_dup_lines"]
+
+
+def test_curate_pipeline_optional_gopher_stage(spark):
+    """gopher=True inserts the rule battery between quality and exact-dup:
+    a quality-passing doc of repeated lines drops as 'gopher'; the default
+    manifest is byte-identical to before the flag existed."""
+    from ictspark.extras import curation
+    line = "the fox and that dog have run to be with all of the others again"
+    repeated = "\n".join([line] * 8)  # 112 words, clean ratios, 0.875 dup lines
+    clean = " ".join(
+        f"wordy{i} {w}" for i, w in enumerate(
+            ["the", "be", "to", "of", "and", "that", "have", "with"] * 4
+        )
+    )
+    rows = [(30, repeated, "en", "src0"), (31, clean, "en", "src0")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    with_g = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curation.curate_pipeline(docs, gopher=True).collect()
+    }
+    assert with_g[30] == "gopher"
+    assert with_g[31] is None
+    without = {
+        r["doc_id"]: r["drop_reason"] for r in curation.curate_pipeline(docs).collect()
+    }
+    assert without[30] is None and without[31] is None
+
+
+def test_nb_beats_unigram_on_boilerplate(spark):
+    """The VERDICT r07 item-5 contract: on a corpus dominated by boilerplate,
+    the self-corpus unigram LM scores the boilerplate ABOVE clean prose (its
+    tokens dominate the corpus), while the NB classifier trained on a small
+    labeled fixture separates them perfectly."""
+    boiler = "click here to subscribe now and win a free prize today"
+    prose = [
+        "the river carried the cold light of morning past the old stone bridge",
+        "a careful reader will notice that the argument rests on two premises",
+        "the committee reviewed the proposal and asked for further evidence",
+    ]
+    corpus = [(i, boiler, "en", "src0") for i in range(20)] + [
+        (100 + i, t, "en", "src0") for i, t in enumerate(prose)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, lang string, source string")
+    uni = {r["doc_id"]: r["avg_logprob"] for r in textstats.unigram_logprob(docs).collect()}
+    # the self-LM is fooled: every boilerplate doc outranks every prose doc
+    assert max(uni[100 + i] for i in range(3)) < min(uni[i] for i in range(20))
+
+    clean_fixture = spark.createDataFrame(
+        [(0, "the quiet garden held the last warm light of the long day"),
+         (1, "she read the letter twice and set it down on the table")],
+        "doc_id long, text string",
+    )
+    noisy_fixture = spark.createDataFrame(
+        [(0, "click here subscribe now win free prize offer buy now"),
+         (1, "free win prize click offer subscribe buy now here today")],
+        "doc_id long, text string",
+    )
+    nb = {
+        r["doc_id"]: (r["avg_llr"], r["pred_clean"])
+        for r in textstats.nb_quality_score(docs, clean_fixture, noisy_fixture).collect()
+    }
+    # NB separates: every prose doc scores above every boilerplate doc, and
+    # the 0-threshold decision is right on both sides
+    assert min(nb[100 + i][0] for i in range(3)) > max(nb[i][0] for i in range(20))
+    assert all(nb[100 + i][1] for i in range(3))
+    assert not any(nb[i][1] for i in range(20))
