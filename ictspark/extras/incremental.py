@@ -47,15 +47,17 @@ store, so directory pruning bites for small/trickle batches (the standing-
 ingest steady state) and degrades to a full — still narrow, still
 shuffle-free — scan for bulk backfills.
 
-Label maintenance is exact, not approximate, and since r08 is scoped to the
-TOUCHED components only: the prior components that share a doc with a new
-candidate pair collapse to stars (member ↔ component edges, diameter ≤ 2),
-new pairs are unioned in, and ``curation.connected_components`` min-label
-propagation re-converges over that subgraph alone; every other prior label
-passes through untouched — new edges can still MERGE old components (the
-keeper re-election property ``curate_pipeline`` tests single-shot), and the
-CC work per ingest is O(batch + collisions + touched members), not
-O(corpus). The equality contract, pinned by test_incremental and the
+Label maintenance is exact, not approximate, and runs on the CONTRACTED
+component graph (r08): each touched prior component collapses to ONE node —
+its label, which by the min-id invariant is the min doc_id of its
+membership — new pairs' endpoints map through their prior labels, and
+``curation.connected_components`` min-label propagation re-converges over
+(touched components + new docs) nodes and (new pairs) edges alone; one join
+then expands the merged labels back over the touched members, and every
+other prior label passes through untouched. New edges still MERGE old
+components (the keeper re-election property ``curate_pipeline`` tests
+single-shot), and the CC propagation work per ingest is O(batch + touched
+COMPONENTS) — members never enter the iterative rounds at all. The equality contract, pinned by test_incremental and the
 ``dedup_incremental`` driver oracle (brute est-over-all-pairs + WITH
 RECURSIVE ground truth): N-batch incremental ingest == ``full_recompute``
 over the union corpus, bit-for-bit, for any batch split and arrival order.
@@ -102,6 +104,16 @@ STORE_BUCKETS = 64
 # is scanned but never shuffled. Above it, a shuffle join is the right plan
 # anyway (the batch is itself bulk data).
 BROADCAST_MAX_BAND_ROWS = 4_000_000
+# Driver-local CC rail (r08): the contracted touched subgraph per ingest is
+# O(batch + touched components) BY CONSTRUCTION — in the standing-ingest
+# regime it is tiny, and distributed min-label propagation pays O(diameter)
+# full scheduling rounds (~2-3 s each) for a graph union-find folds in
+# milliseconds. At or under this many symmetric edge rows the labels are
+# computed on the driver (exact, same min-label result); above it — bulk
+# backfills, adversarial merge storms — the distributed path runs
+# unchanged. The collect is bounded by the rail itself, never by corpus
+# size (the one place a driver-side step is size-railed, not size-assumed).
+LOCAL_CC_MAX_EDGES = 2_000_000
 
 
 def _auto_k(threshold: float) -> int:
@@ -194,6 +206,34 @@ def _band_rows(sig: DataFrame, k: int, n_buckets: int) -> DataFrame:
     return sig.select(
         "doc_id", F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(k)])).alias("band", "bkey")
     ).withColumn("bb", F.pmod(F.col("bkey"), F.lit(n_buckets)).cast("int"))
+
+
+def _local_cc(spark: SparkSession, nodes: DataFrame, sym: DataFrame) -> DataFrame:
+    """Driver-local union-find over a size-railed contracted subgraph —
+    bit-identical to ``connected_components``'s min-label fixpoint (union
+    roots merge toward the smaller id, so every root IS its component's min
+    node id). Only ever called under LOCAL_CC_MAX_EDGES."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in nodes.collect():
+        parent[r[0]] = r[0]
+    for r in sym.select("doc_a", "doc_b").collect():
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(i, find(i)) for i in sorted(parent)]
+    return spark.createDataFrame(rows, "doc_id long, component long")
 
 
 def _dir_bytes(path: str) -> int:
@@ -387,6 +427,20 @@ def ingest_batch(
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     if stored is not None:
+        # scatter the pruned stored read before the probe join (r08 bench
+        # finding): the bb-sorted layout lays every row of a hot (band,bkey)
+        # bucket CONTIGUOUSLY, so under a broadcast-probe join one task emits
+        # that bucket's entire new×stored collision mass (output skew — AQE
+        # skew-join never sees it because the inputs are balanced; measured
+        # 76.6 s -> 15.2 s on the sf1 batch-5 replay). A round-robin
+        # repartition costs one shuffle of the rows the join must consume
+        # anyway (O(pruned read), NOT O(store)) and spreads hot-bucket output
+        # evenly at any scale.
+        scatter = max(
+            spark.sparkContext.defaultParallelism * 2,
+            stored.rdd.getNumPartitions(),
+        )
+        stored = stored.repartition(scatter)
         probe = F.broadcast(a) if n_docs * k <= BROADCAST_MAX_BAND_ROWS else a
         cross = probe.join(
             stored.alias("o"),
@@ -417,14 +471,22 @@ def ingest_batch(
         os.path.join(_pairs_root(store_dir), f"batch={batch_id}")
     )
     t_cand = time.time()
-    # (c) exact label maintenance, scoped to the TOUCHED subgraph (r08):
-    # only prior components sharing a doc with a new pair re-converge (as
-    # stars, diameter ≤ 2, plus the new edges); everything else passes
-    # through — CC work is O(batch + collisions + touched members).
+    # (c) exact label maintenance on the CONTRACTED component graph (r08
+    # rework): each prior component collapses to ONE node — its label, which
+    # by the min-id invariant IS the min doc_id of its membership — and the
+    # new pairs' endpoints map through their prior labels. CC over
+    # (touched components + new docs) nodes and (new pairs) edges then
+    # yields, per merged group, the min contracted id = the true global min
+    # doc_id; one join expands it back over the touched MEMBERS. Strictly
+    # less data than the earlier star construction (members appear only in
+    # the final expansion join, never in the propagation rounds), same
+    # bit-exact result — CC work is O(batch + touched COMPONENTS), not
+    # O(touched members).
     new_ids = batch_docs.select("doc_id")  # NOT the band rows: shingle-less
     # docs have no band rows but are still corpus members (singletons)
     if prior is None:
-        nodes, edges, passthrough = new_ids, new_pairs, None
+        nodes, edges = new_ids, new_pairs
+        passthrough = expanded = None
     else:
         pair_docs = (
             new_pairs.select(F.col("doc_a").alias("doc_id"))
@@ -432,12 +494,18 @@ def ingest_batch(
             .distinct()
         )
         touched_comp = prior.join(pair_docs, "doc_id").select("component").distinct().persist()
-        sub = prior.join(touched_comp, "component")
-        star = sub.where(F.col("doc_id") != F.col("component")).select(
-            F.col("doc_id").alias("doc_a"), F.col("component").alias("doc_b")
+        ma = prior.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("ca"))
+        mb = prior.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("cb2"))
+        edges = (
+            new_pairs.join(ma, "doc_a", "left")
+            .join(mb, "doc_b", "left")
+            .select(
+                F.coalesce("ca", F.col("doc_a")).alias("doc_a"),
+                F.coalesce("cb2", F.col("doc_b")).alias("doc_b"),
+            )
+            .where(F.col("doc_a") != F.col("doc_b"))
         )
-        nodes = new_ids.unionByName(sub.select("doc_id"))
-        edges = new_pairs.unionByName(star)
+        nodes = new_ids.unionByName(touched_comp.select(F.col("component").alias("doc_id")))
         passthrough = prior.join(touched_comp, "component", "left_anti")
     # persist + materialize the symmetric edges before CC (the
     # dedup_components pattern — code-review r07: un-persisted, every
@@ -449,16 +517,35 @@ def ingest_batch(
         .distinct()
         .persist()
     )
-    sym.count()
+    n_sym = sym.count()
     new_pairs.unpersist()
     try:
-        labels = connected_components(nodes, sym)
+        if n_sym <= LOCAL_CC_MAX_EDGES:
+            cc_labels = _local_cc(spark, nodes, sym)
+        else:
+            cc_labels = connected_components(nodes, sym)
     finally:
         sym.unpersist()
+    labels = cc_labels
+    if prior is not None:
+        # expand the contracted labels over the touched members (their
+        # contracted node was their prior component) and keep the new docs'
+        # rows as-is (their contracted node was themselves)
+        relabel = cc_labels.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("newlab")
+        )
+        expanded = (
+            prior.join(touched_comp, "component")
+            .join(relabel, "component")
+            .select("doc_id", F.col("newlab").alias("component"))
+        )
+        labels = cc_labels.join(new_ids, "doc_id")
     t_cc = time.time()
-    out_labels = labels if passthrough is None else passthrough.unionByName(labels)
+    out_labels = labels
+    if passthrough is not None:
+        out_labels = passthrough.unionByName(expanded).unionByName(labels)
     out_labels.write.mode("overwrite").parquet(_labels_path(store_dir, batch_id))
-    labels.unpersist()
+    cc_labels.unpersist()
     if prior is not None:
         prior.unpersist()
         touched_comp.unpersist()

@@ -963,6 +963,11 @@ SELECT a.vec_id, a.cent_id,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
 FROM assign a LEFT JOIN dropped d USING (vec_id)"""
 
+    # incremental semantic dedup (r08): the oracle is the ONE-SHOT SemDeDup
+    # keep list over the union corpus — the hash match proves the batched
+    # assignment-store ingest equals the greedy lowest-id definition
+    q["semantic_dedup_incremental"] = q["semantic_keep_list"]
+
     # single-global-window ground truth for training_order's two-phase rank
     q["training_order"] = """
 SELECT doc_id,

@@ -135,6 +135,28 @@ def main() -> None:
         )
         print(f"prune {i}: {prune_demo[-1]}", file=sys.stderr, flush=True)
 
+    # regime 4: the SAME bulk ingest with the join-time hot-bucket occupancy
+    # cap (ADVICE r07) — per-batch collision mass stays bounded instead of
+    # growing with the store (the uncapped new-vs-stored hot mass is
+    # inherently O(store): hot-bucket members accumulate), at a measured
+    # recall cost reported as keep-decision disagreements vs ground truth
+    CAP = 256
+    cstore = tempfile.mkdtemp(prefix="ictspark_incr_cap_")
+    capped = []
+    for i in range(n_batches):
+        b = bulk.where(F.col("doc_id") % n_batches == i)
+        t0 = time.time()
+        st = incremental.ingest_batch(b, cstore, f"b{i:03d}", hot_bucket_cap=CAP)
+        capped.append(
+            {
+                "s": round(time.time() - t0, 2),
+                "pairs": st["n_new_pairs"],
+                "collisions": st["n_collisions"],
+                "hot_capped": st["n_hot_buckets_capped"],
+            }
+        )
+        print(f"capped {i}: {capped[-1]}", file=sys.stderr, flush=True)
+
     t0 = time.time()
     kl = incremental.keep_list(spark, store)
     d_incr = keep_digest(kl)
@@ -148,6 +170,14 @@ def main() -> None:
     # (bulk + trickle batches together cover the whole corpus)
     assert d_incr == d_full, (d_incr, d_full)
     n_keep_incr = d_incr[0]
+
+    # capped-store recall: how many docs' keep flags disagree with the
+    # uncapped ground truth (the documented trade for bounded collision mass)
+    ckl = incremental.keep_list(spark, cstore).select("doc_id", "keep")
+    fk = full.select("doc_id", F.col("keep").alias("keep_true"))
+    cap_disagree = (
+        ckl.join(fk, "doc_id").where(F.col("keep") != F.col("keep_true")).count()
+    )
 
     out = {
         "metric": "incremental_dedup_ingest",
@@ -167,6 +197,9 @@ def main() -> None:
         "full_recompute_s": full_s,
         "last_batch_vs_full": round(batch_s[-1] / full_s, 3),
         "n_keepers": n_keep_incr,
+        "capped_bulk": capped,
+        "hot_bucket_cap": CAP,
+        "cap_keep_disagreements": cap_disagree,
         "cpus": cpus,
     }
     spark.stop()

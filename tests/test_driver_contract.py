@@ -39,31 +39,31 @@ SCALE_CRITICAL = {
 }
 
 
-# The EXACT r07 window (ADVICE r03: pin the full 50-entry list, not just a
+# The EXACT r08 window (ADVICE r03: pin the full 50-entry list, not just a
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
-# r07 fills the window by accumulated-green count ascending over
-# CORRECTNESS_r01..r06: prototypicality leads (the only 0-green registry
-# entry, added after the r06 grade — VERDICT r06 item 2), then the three
-# r07 additions, the 8 once-green r06 debutants (bigram_logprob and
-# curation_manifest among them — both touched this round, so a fresh grade
-# re-attests them), the 8 twice-green, and the first 30 thrice-green in
-# registry order.
-R07_WINDOW = [
-    "prototypicality", "dedup_incremental", "lm_score_reference",
-    "mixture_plan_subword", "bigram_logprob", "semantic_dup_pairs",
-    "semantic_keep_list", "pack_sequences", "mixture_plan", "tool_chain_stats",
-    "curation_manifest", "training_order", "export_matrix_vertical",
-    "repetition_score", "events_day_0600", "tpch_q1like", "tpch_q5like",
-    "parts_by_brand", "top_customers", "events_sessionize", "product_workbook",
-    "limit_regime_asof", "error_bursts", "tool_latency", "winnow_fingerprint",
-    "winnow_reuse_pairs", "unigram_logprob", "dedup_keep_list", "corpus_mix",
-    "contamination_check", "ann_quantized_rerank", "embedding_norm_stats",
-    "media_dedup", "mb_result_boxes", "events_hourly", "events_shift_buckets",
-    "dedup_components", "stratified_sample", "top_terms_per_lang",
-    "length_percentiles", "scrub_stats", "ann_multiprobe", "ann_ivf",
-    "embedding_quantize", "media_featurize", "dq_report", "first_fail_reports",
-    "role_stats", "hourly_labeled", "step_units",
+# r08 fills the window by accumulated-green count ascending over
+# CORRECTNESS_r01..r07: the four r08 additions lead (0-green by
+# construction), then the four once-green r07 debutants (dedup_incremental
+# re-attests under the v2 bucketed store), the 8 twice-green
+# (curation_manifest re-attests after the incremental-manifest change),
+# the 21 thrice-green, and the first 13 four-green in registry order.
+R08_WINDOW = [
+    "gopher_rules", "curation_manifest_incremental",
+    "semantic_dedup_incremental", "nb_quality_score", "prototypicality",
+    "dedup_incremental", "lm_score_reference", "mixture_plan_subword",
+    "bigram_logprob", "semantic_dup_pairs", "semantic_keep_list",
+    "pack_sequences", "mixture_plan", "tool_chain_stats", "curation_manifest",
+    "training_order", "export_matrix_vertical", "repetition_score",
+    "events_day_0600", "tpch_q1like", "tpch_q5like", "parts_by_brand",
+    "top_customers", "events_sessionize", "lang_id", "step_series",
+    "step_histogram", "step_cpk_trend", "failed_boards_display",
+    "product_hourly", "product_daily_failures", "product_failed_boards",
+    "ann_bruteforce", "ann_bucketed", "embedding_dup_pairs", "media_stats",
+    "frame_sample_plan", "product_workbook", "limit_regime_asof",
+    "error_bursts", "tool_latency", "winnow_fingerprint", "winnow_reuse_pairs",
+    "unigram_logprob", "dedup_keep_list", "corpus_mix", "contamination_check",
+    "ann_quantized_rerank", "embedding_norm_stats", "media_dedup",
 ]
 
 
@@ -93,7 +93,7 @@ def test_scale_critical_queries_graded_or_proven():
 
 
 def test_exact_driver_window_pinned():
-    assert list(E.queries())[:50] == R07_WINDOW
+    assert list(E.queries())[:50] == R08_WINDOW
 
 
 def test_every_query_has_an_oracle():

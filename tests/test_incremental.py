@@ -205,3 +205,16 @@ def test_hot_bucket_cap(spark, docs, tmp_path_factory):
     assert st["n_new_pairs"] == 0  # every occupied bucket has ≥2 rows or no pair
     assert st["n_hot_buckets_capped"] > 0
     assert st["max_bucket_occupancy"] > 1
+
+
+def test_distributed_cc_path_equality(spark, docs, tmp_path_factory, monkeypatch):
+    """The size rail sends small touched subgraphs to driver-local
+    union-find; force the rail to 0 so the DISTRIBUTED contracted-CC path
+    stays covered — both must equal the one-shot recompute bit-for-bit."""
+    monkeypatch.setattr(incremental, "LOCAL_CC_MAX_EDGES", -1)
+    store = str(tmp_path_factory.mktemp("incrdist"))
+    for i in range(2):
+        incremental.ingest_batch(docs.where(F.col("doc_id") % 2 == i), store, f"d{i}")
+    assert _kl(incremental.keep_list(spark, store)) == _kl(
+        incremental.full_recompute(docs)
+    )
