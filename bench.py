@@ -130,6 +130,17 @@ def main() -> None:
     timed_x("unigram_logprob", lambda: TX.unigram_logprob(docs).count())
     timed_x("bigram_logprob", lambda: TX.bigram_logprob(docs).count())
     timed_x("semantic_keep_list", lambda: similarity.semantic_keep_list(emb).count())
+    timed_x("gopher_rules", lambda: TX.gopher_rules(docs).count())
+    timed_x(
+        "nb_quality_score",
+        lambda: TX.nb_quality_score(
+            docs.where(F.col("doc_id") % 5 >= 2),
+            docs.where(F.col("doc_id") % 5 == 0),
+            docs.where(F.col("doc_id") % 5 == 1).select(
+                "doc_id", F.reverse(F.lower("text")).alias("text")
+            ),
+        ).count(),
+    )
     timed_x("curation_manifest", lambda: curation.curate_pipeline(docs).count())
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)

@@ -236,9 +236,17 @@ def _decide(facts: DataFrame, all_pairs: DataFrame, params: dict) -> DataFrame:
         .distinct()
         .persist()
     )
-    sym.count()
+    n_sym = sym.count()
+    n_s3 = s3_ids.count()
     try:
-        labels = connected_components(s3_ids, sym)
+        # size-adaptive CC plan (the incremental-store rail): the survivor
+        # graph per ingest is corpus-sized at the top end — the rail only
+        # short-circuits the O(diameter) scheduling rounds when BOTH node
+        # and edge counts are driver-trivial, exactly like a broadcast-join
+        # threshold; above it the distributed propagation runs unchanged
+        from ictspark.extras.incremental import cc_railed
+
+        labels = cc_railed(facts.sparkSession, s3_ids, sym, n_s3, n_sym)
     finally:
         sym.unpersist()
     nd = keep_columns(labels).localCheckpoint(eager=True)

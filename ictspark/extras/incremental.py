@@ -208,6 +208,21 @@ def _band_rows(sig: DataFrame, k: int, n_buckets: int) -> DataFrame:
     ).withColumn("bb", F.pmod(F.col("bkey"), F.lit(n_buckets)).cast("int"))
 
 
+def cc_railed(
+    spark: SparkSession, nodes: DataFrame, sym: DataFrame, n_nodes: int, n_sym: int
+) -> DataFrame:
+    """Size-adaptive CC plan choice (the broadcast-join rule applied to
+    label propagation): at or under LOCAL_CC_MAX_EDGES nodes AND symmetric
+    edge rows, fold the graph on the driver with union-find; above it, run
+    the distributed min-label propagation unchanged. Both sides are
+    bit-identical fixpoints. Callers pass the counts they already know —
+    the rail is checked on BOTH dimensions so a bulk backfill with many
+    singleton nodes can never trigger an unbounded collect."""
+    if max(n_nodes, n_sym) <= LOCAL_CC_MAX_EDGES:
+        return _local_cc(spark, nodes, sym)
+    return connected_components(nodes, sym)
+
+
 def _local_cc(spark: SparkSession, nodes: DataFrame, sym: DataFrame) -> DataFrame:
     """Driver-local union-find over a size-railed contracted subgraph —
     bit-identical to ``connected_components``'s min-label fixpoint (union
@@ -467,9 +482,16 @@ def ingest_batch(
     # standing est≥threshold pair set over everything ingested — the compact
     # state downstream incremental consumers (the curation manifest) rebuild
     # their decisions from. Overwrite keeps crash-retries idempotent.
-    new_pairs.write.mode("overwrite").parquet(
-        os.path.join(_pairs_root(store_dir), f"batch={batch_id}")
-    )
+    pairs_path = os.path.join(_pairs_root(store_dir), f"batch={batch_id}")
+    new_pairs.write.mode("overwrite").parquet(pairs_path)
+    # re-point downstream consumers at the WRITTEN partition (r08 bench
+    # finding): the label phase's nodes/touched frames consume new_pairs
+    # lazily, and the original cached frame was unpersisted before they
+    # materialized — every later action silently re-ran the whole candidate
+    # join (measured: the "CC" phase cost ~1.7× t_cand and grew with it).
+    # The parquet read is the compact, lineage-free form of the same rows.
+    new_pairs.unpersist()
+    new_pairs = spark.read.parquet(pairs_path)
     t_cand = time.time()
     # (c) exact label maintenance on the CONTRACTED component graph (r08
     # rework): each prior component collapses to ONE node — its label, which
@@ -487,6 +509,7 @@ def ingest_batch(
     if prior is None:
         nodes, edges = new_ids, new_pairs
         passthrough = expanded = None
+        n_touched = 0
     else:
         pair_docs = (
             new_pairs.select(F.col("doc_a").alias("doc_id"))
@@ -494,6 +517,7 @@ def ingest_batch(
             .distinct()
         )
         touched_comp = prior.join(pair_docs, "doc_id").select("component").distinct().persist()
+        n_touched = touched_comp.count()
         ma = prior.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("ca"))
         mb = prior.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("cb2"))
         edges = (
@@ -517,15 +541,15 @@ def ingest_batch(
         .distinct()
         .persist()
     )
+    t_sym0 = time.time()
     n_sym = sym.count()
-    new_pairs.unpersist()
+    t_sym = time.time() - t_sym0
+    t_prop0 = time.time()
     try:
-        if n_sym <= LOCAL_CC_MAX_EDGES:
-            cc_labels = _local_cc(spark, nodes, sym)
-        else:
-            cc_labels = connected_components(nodes, sym)
+        cc_labels = cc_railed(spark, nodes, sym, n_docs + n_touched, n_sym)
     finally:
         sym.unpersist()
+    t_prop = time.time() - t_prop0
     labels = cc_labels
     if prior is not None:
         # expand the contracted labels over the touched members (their
@@ -591,6 +615,9 @@ def ingest_batch(
         "t_sig_s": round(t_sig - t0, 3),
         "t_cand_s": round(t_cand - t_sig, 3),
         "t_cc_s": round(t_cc - t_cand, 3),
+        "t_cc_sym_s": round(t_sym, 3),
+        "t_cc_prop_s": round(t_prop, 3),
+        "n_sym_edges": int(n_sym),
         "t_labels_s": round(t_labels - t_cc, 3),
     }
 
