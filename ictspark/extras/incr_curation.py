@@ -113,6 +113,7 @@ def init_store(
     quality_min: float = QUALITY_MIN,
     budget_tokens: int = CURATE_BUDGET_TOKENS,
     threshold: float = LSH_THRESHOLD,
+    gopher: bool = False,
 ) -> dict:
     """Create the store's immutable identity: the benchmark (held-out eval)
     set and the pipeline params. The benchmark set must be known up front —
@@ -131,6 +132,10 @@ def init_store(
         "quality_min": quality_min,
         "budget_tokens": budget_tokens,
         "threshold": threshold,
+        # the optional Gopher rule stage (curate_pipeline stage 2b) is part
+        # of the store's immutable identity: per-doc pure, so the flag only
+        # changes which facts column the decision chain consults
+        "gopher": gopher,
         "format": incremental.STORE_FORMAT,
     }
     if prior is not None:
@@ -160,7 +165,7 @@ def _facts(batch_docs: DataFrame, store_dir: str) -> DataFrame:
     """One pass over the batch's TEXT → the per-doc facts row. Everything
     here is a pure function of (doc, benchmark set): stage membership is
     decided later, from these columns alone."""
-    from ictspark.extras.textstats import quality_score
+    from ictspark.extras.textstats import gopher_rules, quality_score
 
     spark = batch_docs.sparkSession
     bench_ids = spark.read.parquet(_bench_dir(store_dir, "ids")).withColumn(
@@ -181,6 +186,9 @@ def _facts(batch_docs: DataFrame, store_dir: str) -> DataFrame:
         # per-batch subset — also bounded, but joined on the batch's own key
         .join(F.broadcast(bench_ids), "doc_id", "left")
         .join(hit, "doc_id", "left")
+        # the Gopher verdict is per-doc pure like quality — always stored so
+        # a gopher=True store's decision chain has it as a plain column
+        .join(gopher_rules(batch_docs).select("doc_id", "pass_gopher"), "doc_id")
         .select(
             "doc_id",
             "lang",
@@ -190,6 +198,7 @@ def _facts(batch_docs: DataFrame, store_dir: str) -> DataFrame:
             F.coalesce("_b", F.lit(False)).alias("is_bench"),
             F.md5(F.lower(F.trim("text"))).alias("fp"),
             F.coalesce("_c", F.lit(False)).alias("contaminated"),
+            "pass_gopher",
         )
     )
 
@@ -218,6 +227,12 @@ def _decide(facts: DataFrame, all_pairs: DataFrame, params: dict) -> DataFrame:
         "doc_id", F.lit("quality").alias("drop_reason")
     )
     s2 = facts.where(~is_bench & ~is_lowq)
+    drops_gopher = None
+    if params.get("gopher"):
+        drops_gopher = s2.where(~F.col("pass_gopher")).select(
+            "doc_id", F.lit("gopher").alias("drop_reason")
+        )
+        s2 = s2.where(F.col("pass_gopher"))
     keepers = s2.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     s2k = s2.join(keepers, "fp")
     drops_exact = s2k.where(F.col("doc_id") != F.col("keeper")).select(
@@ -274,6 +289,8 @@ def _decide(facts: DataFrame, all_pairs: DataFrame, params: dict) -> DataFrame:
         .unionByName(drops_cont)
         .unionByName(drops_budget)
     )
+    if drops_gopher is not None:
+        drops = drops.unionByName(drops_gopher)
     out = (
         facts.select("doc_id", "lang", "source", "n_tokens")
         .join(drops, "doc_id", "left")
@@ -310,6 +327,7 @@ def ingest_batch(batch_docs: DataFrame, store_dir: str, batch_id: str) -> dict:
         "quality_min": init["quality_min"],
         "budget_tokens": init["budget_tokens"],
         "threshold": init["threshold"],
+        "gopher": init.get("gopher", False),
     }
     n_docs, n_distinct, sig_str = incremental._input_sig(batch_docs)
     committed = [

@@ -98,3 +98,38 @@ def test_store_guards(spark, docs, tmp_path_factory):
         IC.ingest_batch(b0.limit(3).unionByName(b0.limit(1)), store, "b_dup")
     with pytest.raises(ValueError, match="globally unique"):
         IC.ingest_batch(b0.limit(5), store, "b_repush")
+
+
+def test_incremental_gopher_stage_equals_oneshot(spark, tmp_path_factory):
+    """A gopher=True store reproduces curate_pipeline(gopher=True) over the
+    union: the quality-passing repeated-lines doc drops as 'gopher'
+    regardless of which batch delivered it, and the flag is part of the
+    store's immutable identity."""
+    line = "the fox and that dog have run to be with all of the others again"
+    repeated = "\n".join([line] * 8)  # passes quality, fails dup-line rule
+    clean = " ".join(
+        f"wordy{i} {w}" for i, w in enumerate(
+            ["the", "be", "to", "of", "and", "that", "have", "with"] * 4
+        )
+    )
+    rows = [
+        (30, "en", "src0", repeated),
+        (31, "en", "src0", clean),
+        (32, "en", "src0", clean + " and one more tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    bench = docs.where(F.col("doc_id") < BENCHMARK_MAX_ID)  # empty benchmark
+    full = _rows(
+        curate_pipeline(docs, near_dup_max_df=None, gopher=True, benchmark_docs=bench)
+    )
+    store = str(tmp_path_factory.mktemp("curgo"))
+    IC.init_store(bench, store, gopher=True)
+    for i in range(2):
+        IC.ingest_batch(docs.where(F.col("doc_id") % 2 == i), store, f"g{i}")
+    got = _rows(IC.manifest(spark, store))
+    assert got == full
+    reasons = {r[0]: r[4] for r in got}
+    assert reasons[30] == "gopher"
+    # immutability: re-init with the flag flipped must raise
+    with pytest.raises(ValueError, match="immutable"):
+        IC.init_store(bench, store, gopher=False)
