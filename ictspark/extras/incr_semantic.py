@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ictspark.checkpoint import Lineage
+from ictspark.extras.incremental import _has_data_files
 from ictspark.extras.similarity import (
     SEMANTIC_THRESHOLD,
     _cluster_assign,
@@ -166,10 +167,17 @@ def ingest_vectors(
         )
     t0 = time.time()
     committed_ids = [e["partition"] for e in comm]
-    if committed_ids:
+    # data-file-less partitions (an empty embedding batch, ADVICE r08) hold
+    # no vectors and would poison schema inference in multi-path reads
+    stored_paths = [
+        p
+        for c in committed_ids
+        if _has_data_files(p := os.path.join(_vec_root(store_dir), f"batch={c}"))
+    ]
+    if stored_paths:
         stored_ids = (
             spark.read.option("basePath", _vec_root(store_dir))
-            .parquet(*[os.path.join(_vec_root(store_dir), f"batch={c}") for c in committed_ids])
+            .parquet(*stored_paths)
             .select("vec_id")
         )
         n_overlap = batch_embeddings.select("vec_id").join(stored_ids, "vec_id", "left_semi").count()
@@ -190,7 +198,11 @@ def ingest_vectors(
         .partitionBy("cb")
         .parquet(batch_path)
     )
-    b_new = spark.read.parquet(batch_path)
+    # explicit schema on the read-back (ADVICE r08, medium — same latent
+    # pattern as incremental.ingest_batch): an empty embedding batch's
+    # partitionBy write leaves no data files, so an inferred-schema read
+    # raises UNABLE_TO_INFER_SCHEMA; the given schema makes it an empty frame.
+    b_new = spark.read.schema(assign.schema).parquet(batch_path)
     t_assign = time.time()
     touched = sorted(r["cb"] for r in b_new.select("cb").distinct().collect())
     # (b) within-cluster pairs, new-vs-new ∪ new-vs-stored, never old-vs-old
@@ -209,12 +221,11 @@ def ingest_vectors(
         .select("cent_id", "vec_a", "vec_b", "sim")
     )
     read_bytes = 0
-    if committed_ids and touched:
+    if stored_paths and touched:
         root = _vec_root(store_dir)
-        paths = [os.path.join(root, f"batch={c}") for c in committed_ids]
         stored = (
             spark.read.option("basePath", root)
-            .parquet(*paths)
+            .parquet(*stored_paths)
             .where(F.col("cb").isin(touched))
             # row-level prune inside the bucket: only clusters the batch
             # actually landed in (≤ K values, broadcast semi-join)
@@ -281,9 +292,19 @@ def semantic_keep_read(spark: SparkSession, store_dir: str) -> DataFrame:
     if not comm:
         raise ValueError(f"semantic store {store_dir!r} has no committed batches")
     root = _vec_root(store_dir)
+    apaths = [
+        p
+        for e in comm
+        if _has_data_files(p := os.path.join(root, f"batch={e['partition']}"))
+    ]
+    if not apaths:
+        raise ValueError(
+            f"semantic store {store_dir!r} has no ingested vectors (all "
+            "committed batches were empty)"
+        )
     a = (
         spark.read.option("basePath", root)
-        .parquet(*[os.path.join(root, f"batch={e['partition']}") for e in comm])
+        .parquet(*apaths)
         .select("vec_id", "cent_id")
     )
     proot = _pairs_root(store_dir)

@@ -251,6 +251,17 @@ def _local_cc(spark: SparkSession, nodes: DataFrame, sym: DataFrame) -> DataFram
     return spark.createDataFrame(rows, "doc_id long, component long")
 
 
+def _has_data_files(path: str) -> bool:
+    """Whether a store partition dir holds any parquet data file. A
+    shingle-less (or empty) batch's partitionBy write commits a dir with
+    only _SUCCESS (ADVICE r08) — including it in a later multi-path read
+    would poison schema inference, and it contributes no rows anyway."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _dir_bytes(path: str) -> int:
     out = 0
     for root, _dirs, files in os.walk(path):
@@ -325,9 +336,13 @@ def ingest_batch(
     a pair whose only agreeing positions fall in capped buckets under-counts
     ``nm`` and can drop below the threshold, so a capped store is NOT
     bit-equal to ``full_recompute`` — production knob, off by default (the
-    graded/oracle path needs exact equality). Capped or not, the stats
-    report ``max_bucket_occupancy`` (and the journal records it), so the
-    blow-up is observable before it is fatal."""
+    graded/oracle path needs exact equality). Observability differs by path
+    (ADVICE r08): when capping, ``max_bucket_occupancy`` aggregates over
+    stored-touched ∪ new band rows — the full join input; on the uncapped
+    default path it aggregates the NEW batch only (O(batch) — the stored
+    side isn't scanned an extra time per ingest), so store-side hot-bucket
+    accumulation shows up there through ``n_collisions``, the candidate
+    join's true output size, not through ``max_bucket_occupancy``."""
     spark = batch_docs.sparkSession
     lin = _lineage(store_dir)
     entries = lin.entries()
@@ -367,8 +382,9 @@ def ingest_batch(
     # the input frame's lineage — backs everything downstream (and the
     # overwrite makes a crash-retry idempotent)
     batch_path = os.path.join(_bands_root(store_dir), f"batch={batch_id}")
+    band_src = _band_rows(minhash_signatures(batch_docs, k, max_df=None), k, n_buckets)
     (
-        _band_rows(minhash_signatures(batch_docs, k, max_df=None), k, n_buckets)
+        band_src
         # ONE task per bucket before partitionBy, else every write task
         # splits into every bucket dir — n_tasks × n_buckets tiny files per
         # batch (measured: a 5-batch sf1 store hit ~10k files and the
@@ -379,7 +395,14 @@ def ingest_batch(
         .partitionBy("bb")
         .parquet(batch_path)
     )
-    b_new = spark.read.parquet(batch_path)
+    # explicit schema on the read-back (ADVICE r08, medium): a batch whose
+    # docs are all shingle-less yields ZERO band rows, and a partitionBy
+    # write of an empty frame creates no partition dirs or data files — a
+    # plain read raises UNABLE_TO_INFER_SCHEMA and every retry of an
+    # otherwise-valid trickle ingest crashes. With the schema given, Spark
+    # returns an empty frame and the label phase already treats shingle-less
+    # docs as singleton corpus members.
+    b_new = spark.read.schema(band_src.schema).parquet(batch_path)
     t_sig = time.time()
     # the buckets this batch touches — drives the pruned stored-side read;
     # ≤ n_buckets values, so the collect is bounded by construction
@@ -389,12 +412,19 @@ def ingest_batch(
     read_bytes = 0
     if committed_ids and touched:
         root = _bands_root(store_dir)
-        paths = [os.path.join(root, f"batch={cid}") for cid in committed_ids]
-        stored = (
-            spark.read.option("basePath", root)
-            .parquet(*paths)
-            .where(F.col("bb").isin(touched))
-        )
+        # drop data-file-less partitions (shingle-less batches, ADVICE r08):
+        # they contribute no band rows and would poison schema inference
+        paths = [
+            p
+            for cid in committed_ids
+            if _has_data_files(p := os.path.join(root, f"batch={cid}"))
+        ]
+        if paths:
+            stored = (
+                spark.read.option("basePath", root)
+                .parquet(*paths)
+                .where(F.col("bb").isin(touched))
+            )
         for cid in committed_ids:
             for bb in touched:
                 read_bytes += _dir_bytes(os.path.join(root, f"batch={cid}", f"bb={bb}"))
@@ -410,15 +440,25 @@ def ingest_batch(
             occ_src = occ_src.unionByName(stored.select("band", "bkey"))
         occ = occ_src.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("occ")).persist()
         max_occ = (occ.agg(F.max("occ")).first() or [0])[0] or 0
-        hot = occ.where(F.col("occ") > hot_bucket_cap).select("band", "bkey")
+        # materialize hot BEFORE unpersisting occ (ADVICE r08): the two
+        # F.broadcast(hot) consumers below are lazy, and an unpersisted occ
+        # would silently re-run the occupancy aggregation — including the
+        # pruned stored-side scan — at join time, twice (the same
+        # unpersist-before-consumers pattern the r08 fix closed for
+        # new_pairs). eager localCheckpoint cuts hot's lineage off occ.
+        hot = (
+            occ.where(F.col("occ") > hot_bucket_cap)
+            .select("band", "bkey")
+            .localCheckpoint(eager=True)
+        )
         n_hot = hot.count()
+        occ.unpersist()
         if n_hot:
             b_join = b_new.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
             if stored is not None:
                 stored = stored.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
         else:
             b_join = b_new
-        occ.unpersist()
     else:
         max_occ = (
             b_new.groupBy("band", "bkey")

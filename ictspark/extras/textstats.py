@@ -133,8 +133,9 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     Spark and the DuckDB oracle. Zero-word/zero-line docs get NULL ratios
     (try_divide) and coalesce to failing the flag — an empty doc fails, it
     does not crash (the doc_stats ANSI-mode rule). Reference analog: the
-    per-log validity gates in parse (scan_dir.rs:193-213) — reject rows by
-    local inspection before any aggregation sees them."""
+    per-log acceptance gate in the ingest loop (main.rs:496-500,
+    ``push_from_file`` — a log the parser rejects by local inspection never
+    reaches any report)."""
     text = F.coalesce(F.col("text"), F.lit(""))
     words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
     lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")

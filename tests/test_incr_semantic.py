@@ -50,28 +50,56 @@ def test_late_low_id_flips_stored_keeper(spark, emb, tmp_path_factory):
     later batch — the pair lands with the stored id as vec_b."""
     cents = similarity.fixed_centroids(emb)
     full = similarity.semantic_keep_list(emb, centroids=cents)
-    # pick a dropped vector whose lowest qualifying neighbor has a LOWER id
+    # pick a dropped vector whose ONLY qualifying lower-id neighbor is lo
+    # (ADVICE r08: an arbitrary pair let another lower-id neighbor drop hi
+    # already in batch 1, making the flip check vacuous — this filter
+    # guarantees hi is a KEEPER mid-stream, so the flip is exercised)
     pairs = similarity.semantic_dup_pairs(emb, centroids=cents)
-    pick = pairs.orderBy("vec_b").first()
-    lo, hi = pick["vec_a"], pick["vec_b"]
+    pick = (
+        pairs.groupBy("vec_b")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_a").alias("lo"))
+        .where(F.col("n") == 1)
+        .orderBy("vec_b")
+        .first()
+    )
+    assert pick is not None, "corpus has no single-neighbor dropped vector"
+    lo, hi = pick["lo"], pick["vec_b"]
     store = str(tmp_path_factory.mktemp("semflip"))
     # batch 1: everything EXCEPT the low endpoint -> hi may be kept
     incr_semantic.ingest_vectors(
         emb.where(F.col("vec_id") != lo), store, "first", centroids=cents
     )
     mid = {r["vec_id"]: r["keep"] for r in incr_semantic.semantic_keep_read(spark, store).collect()}
+    assert mid[hi] == 1  # hi IS a keeper before lo arrives — flip guaranteed
     # batch 2: the low endpoint arrives -> hi must flip to dropped
     incr_semantic.ingest_vectors(
         emb.where(F.col("vec_id") == lo), store, "second", centroids=cents
     )
     fin = {r["vec_id"]: r["keep"] for r in incr_semantic.semantic_keep_read(spark, store).collect()}
-    assert fin[hi] == 0
+    assert fin[hi] == 0  # the keeper flipped
     oracle = {r["vec_id"]: r["keep"] for r in full.collect()}
     assert fin == oracle
-    # the flip is observable: hi's keep changed iff no other lower-id
-    # neighbor was already in batch 1
-    if mid[hi] == 1:
-        assert fin[hi] == 0
+
+
+def test_empty_batch_ingests(spark, emb, tmp_path_factory):
+    """ADVICE r08: an EMPTY embedding batch's partitionBy write leaves no
+    data files — the read-back and every later multi-path stored read must
+    survive it (same latent pattern as the sig store's shingle-less batch)."""
+    cents = similarity.fixed_centroids(emb)
+    store = str(tmp_path_factory.mktemp("semempty"))
+    empty = emb.where(F.lit(False))
+    s = incr_semantic.ingest_vectors(empty, store, "e0", centroids=cents)
+    assert not s["skipped"] and s["n_vecs"] == 0 and s["n_new_pairs"] == 0
+    # keep_read over an all-empty store is loud, not a schema crash
+    with pytest.raises(ValueError, match="no ingested vectors"):
+        incr_semantic.semantic_keep_read(spark, store)
+    # a real batch after the empty one reads THROUGH the empty partition
+    incr_semantic.ingest_vectors(emb, store, "all", centroids=cents)
+    # ...and a trailing empty batch with a non-empty store behind it
+    incr_semantic.ingest_vectors(empty, store, "e1", centroids=cents)
+    assert _kl(incr_semantic.semantic_keep_read(spark, store)) == _kl(
+        similarity.semantic_keep_list(emb, centroids=cents)
+    )
 
 
 def test_store_guards(spark, emb, tmp_path_factory):

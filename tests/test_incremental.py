@@ -207,6 +207,38 @@ def test_hot_bucket_cap(spark, docs, tmp_path_factory):
     assert st["max_bucket_occupancy"] > 1
 
 
+def test_shingleless_batch_ingests(spark, docs, tmp_path_factory):
+    """ADVICE r08 (medium): a non-empty batch whose docs all have <3
+    whitespace tokens yields ZERO band rows; the partitionBy write of that
+    empty frame leaves no data files and the inferred-schema read-back used
+    to crash with UNABLE_TO_INFER_SCHEMA — failing every retry of an
+    otherwise-valid trickle ingest. It must commit as singleton corpus
+    members, later batches must read THROUGH the data-file-less stored
+    partition, and the final state must equal the one-shot recompute."""
+    store = str(tmp_path_factory.mktemp("incr_short"))
+    short = spark.createDataFrame(
+        [(10_000_001, "hi"), (10_000_002, "ok then")], "doc_id long, text string"
+    )
+    s = incremental.ingest_batch(short, store, "shorts")
+    assert not s["skipped"] and s["n_new_pairs"] == 0 and s["touched_buckets"] == 0
+    kl = {r["doc_id"]: (r["component"], r["n_members"], r["keep"])
+          for r in incremental.keep_list(spark, store).collect()}
+    assert kl[10_000_001] == (10_000_001, 1, True)
+    assert kl[10_000_002] == (10_000_002, 1, True)
+    # a real batch after the shingle-less one: the stored-side multi-path
+    # read must skip the empty partition instead of failing schema inference
+    b0 = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    s2 = incremental.ingest_batch(b0, store, "real")
+    assert not s2["skipped"]
+    # ...and a trailing shingle-less batch with a non-empty store behind it
+    tail = spark.createDataFrame([(10_000_003, "bye")], "doc_id long, text string")
+    incremental.ingest_batch(tail, store, "tail")
+    union = b0.unionByName(short).unionByName(tail)
+    assert _kl(incremental.keep_list(spark, store)) == _kl(
+        incremental.full_recompute(union)
+    )
+
+
 def test_distributed_cc_path_equality(spark, docs, tmp_path_factory, monkeypatch):
     """The size rail sends small touched subgraphs to driver-local
     union-find; force the rail to 0 so the DISTRIBUTED contracted-CC path
