@@ -526,3 +526,78 @@ def winnow_reuse_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def paragraph_dedup(documents: DataFrame) -> DataFrame:
+    """Corpus-wide repeated-PARAGRAPH dedup (VERDICT r08 item 2) — the
+    sub-document granularity of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"): boilerplate paragraphs (license
+    headers, nav bars, signatures) repeat across millions of documents that
+    are NOT near-duplicates of each other, so doc-granular dedup never sees
+    them. Only the globally FIRST occurrence of each paragraph survives —
+    the exact-dedup min-id keeper rule one level down, applied per
+    (doc_id, para_idx) so within-doc repeats dedupe too.
+
+    Semantics: paragraphs are the double-newline split segments; a segment
+    is a dedup unit iff it has non-whitespace content (whitespace-only
+    segments are formatting, not content — they are dropped from the
+    rewrite, which re-joins kept paragraphs with a single blank line). The
+    keeper of a paragraph hash is its lexicographically-min (doc_id,
+    para_idx) occurrence. Output, one row per input doc: (doc_id, n_paras,
+    n_removed, removed_para_frac, new_text) — a doc with no content
+    paragraphs passes through with 0/0/NULL/''.
+
+    Scale shape: one explode (map stage), one min-STRUCT aggregation on the
+    paragraph hash — map-side partial combine, so a paragraph repeated 10⁷
+    times collapses inside each scan partition before the shuffle (the
+    reason this is an agg + join, not a row_number window: a window puts
+    every occurrence of a hot hash in ONE task's sort) — one equi-join back
+    on the hash (build side is one row per distinct hash; output = input
+    rows exactly, so a hot key inflates nothing beyond its own row count,
+    which AQE skew-split handles), and one doc_id regroup for the rewrite.
+    No cartesian anywhere; text crosses the wire twice (hash join +
+    regroup), the irreducible cost of a rewrite emitter."""
+    # full whitespace strip, not trim(): trim removes SPACES only in both
+    # Spark and DuckDB, which would make a tab-padded segment "content"
+    stripped = F.regexp_replace("para", r"^\s+|\s+$", "")
+    segs = (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n\n")).alias(
+                "para_idx", "para"
+            ),
+        )
+        .where(stripped != "")
+        .withColumn("h", F.md5(stripped))
+    )
+    first = segs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first")
+    )
+    marked = segs.join(first, "h").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("para_idx") == F.col("first.para_idx")),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_removed"),
+        # collect_list skips the NULLs the when() leaves for removed paras;
+        # array_sort orders the structs by para_idx (first field), so the
+        # rewrite is deterministic regardless of task arrival order
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("para_idx", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("new_text"),
+    )
+    return documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        F.round(F.try_divide("n_removed", "n_paras"), 4).alias("removed_para_frac"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

@@ -649,6 +649,48 @@ SELECT *,
    AND pass_dup_paras) AS pass_gopher
 FROM f"""
 
+    # paragraph_dedup (r09): the Spark side keeps the globally-min
+    # (doc_id, para_idx) occurrence per trimmed-paragraph hash via one
+    # min-struct agg; DuckDB states the same lexicographic minimum as two
+    # grouped mins (min doc_id per hash, then min para_idx within it)
+    q["paragraph_dedup"] = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(COALESCE(text, ''), chr(10) || chr(10))) AS para,
+         unnest(generate_series(1, len(string_split(COALESCE(text, ''), chr(10) || chr(10))))) - 1 AS para_idx
+  FROM documents
+),
+content AS (
+  SELECT doc_id, para_idx, para,
+         md5(regexp_replace(para, '^\\s+|\\s+$', '', 'g')) AS h
+  FROM segs WHERE regexp_replace(para, '^\\s+|\\s+$', '', 'g') <> ''
+),
+f1 AS (SELECT h, MIN(doc_id) AS fdoc FROM content GROUP BY 1),
+f2 AS (
+  SELECT c.h, f1.fdoc, MIN(c.para_idx) AS fidx
+  FROM content c JOIN f1 ON c.h = f1.h AND c.doc_id = f1.fdoc
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT c.doc_id, c.para_idx, c.para,
+         (c.doc_id = f2.fdoc AND c.para_idx = f2.fidx) AS kept
+  FROM content c JOIN f2 USING (h)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_paras,
+         CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                  FILTER (WHERE kept), '') AS new_text
+  FROM m GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       ROUND(a.n_removed * 1.0 / NULLIF(a.n_paras, 0), 4) AS removed_para_frac,
+       COALESCE(a.new_text, '') AS new_text
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
     q["repetition_score"] = f"""
 WITH {_TOKS},
 tri AS (

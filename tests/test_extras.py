@@ -1428,6 +1428,72 @@ def test_curate_pipeline_optional_gopher_stage(spark):
     assert without[30] is None and without[31] is None
 
 
+def test_paragraph_dedup_planted_boilerplate(spark):
+    """Lee et al. 2021 sub-document dedup (VERDICT r08 item 2): a boilerplate
+    paragraph spanning many docs survives ONLY at its globally-min
+    (doc_id, para_idx) occurrence; within-doc repeats dedupe too; whitespace-
+    only and NULL texts pass through with empty rewrites, no crash."""
+    boiler = "All rights reserved.\nSee LICENSE for details."
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opener\n\n{boiler}\n\nalpha beta"),
+            (2, f"{boiler}\n\nsomething else entirely"),
+            (3, f"gamma delta\n\n{boiler}"),
+            (4, f"{boiler}\n\n{boiler}"),  # within-doc repeat, both non-first
+            (5, "   \n\n\t"),  # whitespace-only segments: no content paras
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["new_text"] == docs.where(
+        F.col("doc_id") == 1
+    ).first()["text"]
+    assert out[2]["n_removed"] == 1 and out[2]["new_text"] == "something else entirely"
+    assert out[3]["new_text"] == "gamma delta" and out[3]["removed_para_frac"] == 0.5
+    assert out[4]["n_paras"] == 2 and out[4]["n_removed"] == 2
+    assert out[4]["removed_para_frac"] == 1.0 and out[4]["new_text"] == ""
+    for d in (5, 6):
+        assert out[d]["n_paras"] == 0 and out[d]["n_removed"] == 0
+        assert out[d]["removed_para_frac"] is None and out[d]["new_text"] == ""
+
+
+def test_curate_pipeline_optional_para_dedup_stage(spark):
+    """para_dedup=True is pure pre-composition: the manifest equals
+    curate_pipeline over the paragraph-rewritten corpus — boilerplate mass
+    leaves n_tokens and every doc-level stage sees the deduped text."""
+    from ictspark.extras import curation
+
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    base = " ".join(
+        f"w{i} {w}" for i, w in enumerate(
+            ["the", "be", "to", "of", "and", "that", "have", "with"] * 5
+        )
+    )
+    rows = [
+        (40, f"{base} one\n\n{boiler}", "en", "src0"),
+        (41, f"{base} two\n\n{boiler}", "en", "src0"),
+        (42, f"{base} three", "en", "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    from ictspark.extras.dedup import paragraph_dedup
+
+    rewritten = docs.drop("text").join(
+        paragraph_dedup(docs).select("doc_id", F.col("new_text").alias("text")), "doc_id"
+    )
+    got = sorted(
+        tuple(r) for r in curation.curate_pipeline(docs, para_dedup=True).collect()
+    )
+    want = sorted(tuple(r) for r in curation.curate_pipeline(rewritten).collect())
+    assert got == want
+    # the stage did real work: doc 41 lost the boilerplate paragraph's tokens
+    toks = {r[0]: r[3] for r in got}  # (doc_id, lang, source, n_tokens, ...)
+    raw41 = docs.where(F.col("doc_id") == 41).select(
+        F.size(F.split("text", r"\s+")).alias("n")
+    ).first()["n"]
+    assert toks[41] < raw41
+
+
 def test_nb_beats_unigram_on_boilerplate(spark):
     """The VERDICT r07 item-5 contract: on a corpus dominated by boilerplate,
     the self-corpus unigram LM scores the boilerplate ABOVE clean prose (its
