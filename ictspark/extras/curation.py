@@ -483,7 +483,19 @@ def mixture_plan(
     if weights is None:
         langs = [r["lang"] for r in documents.select("lang").distinct().collect()]
         if not langs:
-            raise ValueError("mixture_plan: documents table has no languages")
+            # the distinct-collect is empty iff the INPUT is empty (all-NULL
+            # langs still yield [None]): an empty corpus has an empty plan —
+            # an upstream filter stage may legitimately annihilate the
+            # survivor set (a full-battery Gopher pass over a synthetic
+            # corpus does, r09), and curation must compose, not crash
+            return d.select(
+                "doc_id",
+                "lang",
+                "n_tokens",
+                F.lit(0).cast("bigint").alias("target_tokens"),
+                F.lit(0).cast("bigint").alias("tokens_before"),
+                F.lit(False).alias("keep"),
+            )
         weights = {lang: 1.0 / len(langs) for lang in langs}
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     # bucket token totals → cumulative offsets (≤256 rows per lang, broadcast)

@@ -605,16 +605,22 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id"""
     )
 
     gsw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
-    q["gopher_rules"] = f"""
-WITH g AS (
+
+    def _gopher_ctes(src: str, pfx: str) -> str:
+        """The full Rae et al. 2021 §A1.1 battery over table ``src`` as CTEs
+        ending in ``{pfx}`` (doc_id, values, flags, pass_gopher). ONE
+        definition shared by the standalone gopher_rules oracle and the
+        gopher-enabled manifest chains — two hand-copies of ten rule
+        expressions would silently diverge (the r09 refactor rule)."""
+        return f"""{pfx}_g AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), w -> w <> '') AS words,
     list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines,
     list_filter(string_split(coalesce(text, ''), chr(10) || chr(10)), p -> trim(p) <> '') AS paras,
     len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) AS n_sym
-  FROM documents
+  FROM {src}
 ),
-v AS (
+{pfx}_v AS (
   SELECT doc_id,
     CAST(len(words) AS BIGINT) AS n_words,
     ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0 / NULLIF(len(words), 0), 4) AS mean_word_len,
@@ -628,26 +634,31 @@ v AS (
     CAST(len(list_filter([{gsw}], s -> list_contains(words, s))) AS BIGINT) AS stopword_hits,
     ROUND((len(lines) - len(list_distinct(lines))) * 1.0 / NULLIF(len(lines), 0), 4) AS dup_line_frac,
     ROUND((len(paras) - len(list_distinct(paras))) * 1.0 / NULLIF(len(paras), 0), 4) AS dup_para_frac
-  FROM g
+  FROM {pfx}_g
 ),
-f AS (
+{pfx} AS (
   SELECT *,
-    COALESCE(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}, FALSE) AS pass_word_count,
-    COALESCE(mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}, FALSE) AS pass_mean_word_len,
-    COALESCE(symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}, FALSE) AS pass_symbol_ratio,
-    COALESCE(bullet_line_frac <= {GOPHER_MAX_BULLET_FRAC}, FALSE) AS pass_bullet,
-    COALESCE(ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}, FALSE) AS pass_ellipsis,
-    COALESCE(alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS pass_alpha,
-    stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS pass_stopwords,
-    COALESCE(dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}, FALSE) AS pass_dup_lines,
-    COALESCE(dup_para_frac <= {GOPHER_MAX_DUP_PARA_FRAC}, FALSE) AS pass_dup_paras
-  FROM v
-)
-SELECT *,
-  (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio AND pass_bullet
-   AND pass_ellipsis AND pass_alpha AND pass_stopwords AND pass_dup_lines
-   AND pass_dup_paras) AS pass_gopher
-FROM f"""
+    (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio AND pass_bullet
+     AND pass_ellipsis AND pass_alpha AND pass_stopwords AND pass_dup_lines
+     AND pass_dup_paras) AS pass_gopher
+  FROM (
+    SELECT *,
+      COALESCE(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}, FALSE) AS pass_word_count,
+      COALESCE(mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}, FALSE) AS pass_mean_word_len,
+      COALESCE(symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}, FALSE) AS pass_symbol_ratio,
+      COALESCE(bullet_line_frac <= {GOPHER_MAX_BULLET_FRAC}, FALSE) AS pass_bullet,
+      COALESCE(ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}, FALSE) AS pass_ellipsis,
+      COALESCE(alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS pass_alpha,
+      stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS pass_stopwords,
+      COALESCE(dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}, FALSE) AS pass_dup_lines,
+      COALESCE(dup_para_frac <= {GOPHER_MAX_DUP_PARA_FRAC}, FALSE) AS pass_dup_paras
+    FROM {pfx}_v
+  )
+)"""
+
+    q["gopher_rules"] = f"""
+WITH {_gopher_ctes("documents", "gr")}
+SELECT * FROM gr"""
 
     # paragraph_dedup (r09): the Spark side keeps the globally-min
     # (doc_id, para_idx) occurrence per trimmed-paragraph hash via one
@@ -1090,22 +1101,54 @@ FROM assign"""
     _mix_target = (
         f"CAST(round((1.0 / (SELECT n_langs FROM nl5)) * {CURATE_BUDGET_TOKENS}) AS BIGINT)"
     )
-    def _manifest_sql(nd_src: str) -> str:
+    def _manifest_sql(nd_src: str, gopher: bool = False, augment: bool = False) -> str:
         """The composed-pipeline CTE chain, parameterized on the near-dup
         shingle source: "sh3" (df-capped — the one-shot graded definition)
         or "sh3_all" (uncapped — the per-doc-pure definition the INCREMENTAL
         manifest maintains; the df-cap is corpus-dependent, so a frozen
-        store can't use it). Same chain otherwise, stage for stage."""
+        store can't use it) — and on the optional Gopher stage 2b (r09:
+        the shared ``_gopher_ctes`` battery over the stage-2 survivors,
+        fails dropping as 'gopher' before exact-dup sees them). Same chain
+        otherwise, stage for stage. ``augment`` switches the corpus to the
+        stopword-augmented fixture view (``__spark_entry__._docs_gopherable``
+        mirrored): the raw synthetic corpus contains ZERO of the 8 published
+        Gopher stopwords, so the un-augmented battery would annihilate it
+        and the graded gopher chains would attest nothing downstream."""
+        docs = "docs_aug" if augment else "documents"
+        aug_cte = (
+            """
+docs_aug AS (
+  SELECT * REPLACE (coalesce(text, '')
+    || ' the a' || CAST(doc_id AS VARCHAR)
+    || ' of b' || CAST(doc_id AS VARCHAR)
+    || ' and c' || CAST(doc_id AS VARCHAR)
+    || ' that' AS text)
+  FROM documents
+),"""
+            if augment
+            else ""
+        )
+        if gopher:
+            s2_stage = f""",
+{_gopher_ctes("s2q", "g2")},
+s2 AS (SELECT s2q.* FROM s2q JOIN g2 USING (doc_id) WHERE g2.pass_gopher)"""
+            gopher_reason = """
+  UNION ALL
+  SELECT doc_id, 'gopher' FROM g2 WHERE NOT pass_gopher"""
+        else:
+            s2_stage = """,
+s2 AS (SELECT * FROM s2q)"""
+            gopher_reason = ""
         return f"""
-WITH RECURSIVE
+WITH RECURSIVE{aug_cte}
 ntok AS (
   SELECT doc_id,
          CAST(COALESCE(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM {docs}
 ),
 qt AS (
   SELECT doc_id, token FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM {docs}
   ) WHERE token <> ''
 ),
 qagg AS (
@@ -1121,12 +1164,12 @@ qual AS (
                + CASE WHEN a.swc * 1.0 / NULLIF(a.n_toks, 0) > 0.01 AND a.swc * 1.0 / NULLIF(a.n_toks, 0) < 0.6 THEN 0.3 ELSE 0.0 END
                + CASE WHEN length(d.text) * 1.0 / NULLIF(a.n_toks, 0) > 3 AND length(d.text) * 1.0 / NULLIF(a.n_toks, 0) < 12 THEN 0.2 ELSE 0.0 END,
                4) AS quality
-  FROM documents d LEFT JOIN qagg a USING (doc_id)
+  FROM {docs} d LEFT JOIN qagg a USING (doc_id)
 ),
-s2 AS (
-  SELECT d.* FROM documents d JOIN qual USING (doc_id)
+s2q AS (
+  SELECT d.* FROM {docs} d JOIN qual USING (doc_id)
   WHERE doc_id >= {BENCHMARK_MAX_ID} AND quality >= {QUALITY_MIN}
-),
+){s2_stage},
 ex AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM s2),
 exk AS (SELECT fp, MIN(doc_id) AS keeper FROM ex GROUP BY 1),
 s3 AS (
@@ -1153,7 +1196,7 @@ reach AS (
 ),
 comp AS (SELECT doc AS doc_id, MIN(r) AS component FROM reach GROUP BY 1),
 s4 AS (SELECT s3.* FROM s3 JOIN comp USING (doc_id) WHERE doc_id = component),
-bdocs AS (SELECT * FROM documents WHERE doc_id < {BENCHMARK_MAX_ID}),
+bdocs AS (SELECT * FROM {docs} WHERE doc_id < {BENCHMARK_MAX_ID}),
 {_trigram_ctes("bdocs", "shb")},
 benchsh AS (SELECT DISTINCT shingle FROM shb_all),
 {_trigram_ctes("s4", "sh4")},
@@ -1170,7 +1213,7 @@ c5 AS (
 s6 AS (SELECT doc_id FROM c5 WHERE tokens_before < {_mix_target}),
 p6 AS (
   SELECT d.doc_id, d.source, n.n_tokens
-  FROM documents d JOIN s6 ON d.doc_id = s6.doc_id JOIN ntok n ON d.doc_id = n.doc_id
+  FROM {docs} d JOIN s6 ON d.doc_id = s6.doc_id JOIN ntok n ON d.doc_id = n.doc_id
 ),
 pk AS (
   SELECT doc_id,
@@ -1185,9 +1228,9 @@ packed AS (
   FROM pk
 ),
 reasons AS (
-  SELECT doc_id, 'benchmark' AS drop_reason FROM documents WHERE doc_id < {BENCHMARK_MAX_ID}
+  SELECT doc_id, 'benchmark' AS drop_reason FROM {docs} WHERE doc_id < {BENCHMARK_MAX_ID}
   UNION ALL
-  SELECT doc_id, 'quality' FROM qual WHERE doc_id >= {BENCHMARK_MAX_ID} AND quality < {QUALITY_MIN}
+  SELECT doc_id, 'quality' FROM qual WHERE doc_id >= {BENCHMARK_MAX_ID} AND quality < {QUALITY_MIN}{gopher_reason}
   UNION ALL
   SELECT ex.doc_id, 'exact_dup' FROM ex JOIN exk ON ex.fp = exk.fp WHERE ex.doc_id <> exk.keeper
   UNION ALL
@@ -1199,12 +1242,21 @@ reasons AS (
 )
 SELECT d.doc_id, d.lang, d.source, n.n_tokens,
        r.drop_reason, r.doc_id IS NULL AS keep, p.seq_id, p.seq_off
-FROM documents d
+FROM {docs} d
 JOIN ntok n ON d.doc_id = n.doc_id
 LEFT JOIN reasons r ON d.doc_id = r.doc_id
 LEFT JOIN packed p ON d.doc_id = p.doc_id"""
 
     q["curation_manifest"] = _manifest_sql("sh3")
+    # gopher-enabled manifests (VERDICT r08 item 3), both over the
+    # stopword-augmented fixture view so stage 2b splits the corpus
+    # (word-count rule) instead of annihilating it: the one-shot chain and
+    # the COMBINED incremental path (per-doc facts incl. the Gopher verdict
+    # through the journaled store), each under its own external oracle
+    q["curation_manifest_gopher"] = _manifest_sql("sh3", gopher=True, augment=True)
+    q["curation_manifest_incremental_gopher"] = _manifest_sql(
+        "sh3_all", gopher=True, augment=True
+    )
     # incremental manifest (r08): the ORACLE is the one-shot chain — the
     # driver's hash match proves N-batch ingest == the one-shot definition
     q["curation_manifest_incremental"] = _manifest_sql("sh3_all")
