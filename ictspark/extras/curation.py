@@ -551,6 +551,7 @@ def curate_pipeline(
     near_dup_max_df: int | None = MAX_SHINGLE_DF,
     gopher: bool = False,
     para_dedup: bool = False,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """The END-TO-END curation manifest (VERDICT r05 item 2): the operators
     this module and its siblings provide, CHAINED the way a 100 TB
@@ -612,7 +613,10 @@ def curate_pipeline(
     iff kept; seq_* NULL iff dropped. Stages run on disjoint populations by
     construction, so reasons cannot double-count — the manifest test and
     the DuckDB oracle (a CTE chain restating every stage) hold the chain
-    together end to end.
+    together end to end. ``tokenizer`` ('ws' default / 'subword', r09) is
+    the unit the budget line, packing and the reported n_tokens are
+    measured in — the subword form budgets in what a training run actually
+    spends.
 
     Scale shape: every stage is the already-audited operator (same code, not
     a copy) — hash groupBys, banded equi-joins, two-phase prefix sums; the
@@ -716,13 +720,13 @@ def curate_pipeline(
     drops_cont = hit.select("doc_id", F.lit("contaminated").alias("drop_reason"))
     s5 = _ckpt(s4.join(hit, "doc_id", "left_anti"))
 
-    mix = mixture_plan(s5, budget_tokens)
+    mix = mixture_plan(s5, budget_tokens, tokenizer=tokenizer)
     drops_budget = mix.where(~F.col("keep")).select(
         "doc_id", F.lit("budget").alias("drop_reason")
     )
     s6 = s5.join(mix.where(F.col("keep")).select("doc_id"), "doc_id")
 
-    packed = pack_sequences(s6).select("doc_id", "seq_id", "seq_off")
+    packed = pack_sequences(s6, tokenizer=tokenizer).select("doc_id", "seq_id", "seq_off")
     drops = (
         drops_bench.unionByName(drops_quality)
         .unionByName(drops_exact)
@@ -737,7 +741,7 @@ def curate_pipeline(
     )
     return (
         documents.select(
-            "doc_id", "lang", "source", _token_count("ws").alias("n_tokens")
+            "doc_id", "lang", "source", _token_count(tokenizer).alias("n_tokens")
         )
         .join(drops, "doc_id", "left")
         .join(packed, "doc_id", "left")

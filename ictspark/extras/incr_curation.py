@@ -114,6 +114,7 @@ def init_store(
     budget_tokens: int = CURATE_BUDGET_TOKENS,
     threshold: float = LSH_THRESHOLD,
     gopher: bool = False,
+    tokenizer: str = "ws",
 ) -> dict:
     """Create the store's immutable identity: the benchmark (held-out eval)
     set and the pipeline params. The benchmark set must be known up front —
@@ -136,8 +137,14 @@ def init_store(
         # of the store's immutable identity: per-doc pure, so the flag only
         # changes which facts column the decision chain consults
         "gopher": gopher,
+        # the budget/packing unit (r09, 'ws' or 'subword') — same purity
+        # rule: both counts are stored per doc at ingest, the param only
+        # selects which column the decision chain budgets in
+        "tokenizer": tokenizer,
         "format": incremental.STORE_FORMAT,
     }
+    if tokenizer not in ("ws", "subword"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}: use 'ws' or 'subword'")
     if prior is not None:
         got = {k: prior.get(k) for k in params}
         if got != params:
@@ -194,6 +201,10 @@ def _facts(batch_docs: DataFrame, store_dir: str) -> DataFrame:
             "lang",
             "source",
             _token_count("ws").alias("n_tokens"),
+            # per-doc pure like n_tokens/pass_gopher, so it is ALWAYS stored
+            # (r09): a tokenizer='subword' store's budget/packing chain reads
+            # it as a plain facts column, no second text pass ever
+            _token_count("subword").alias("subword_tokens"),
             "quality",
             F.coalesce("_b", F.lit(False)).alias("is_bench"),
             F.md5(F.lower(F.trim("text"))).alias("fp"),
@@ -276,12 +287,15 @@ def _decide(facts: DataFrame, all_pairs: DataFrame, params: dict) -> DataFrame:
         "doc_id", F.lit("contaminated").alias("drop_reason")
     )
     s5 = s4.where(~F.col("contaminated"))
-    mix = mixture_plan(s5, params["budget_tokens"], tokens_col="n_tokens")
+    # the budget/packing unit is a stored facts column — 'ws' or 'subword'
+    # per the store's immutable tokenizer param (r09), never a text re-pass
+    tcol = "subword_tokens" if params.get("tokenizer", "ws") == "subword" else "n_tokens"
+    mix = mixture_plan(s5, params["budget_tokens"], tokens_col=tcol)
     drops_budget = mix.where(~F.col("keep")).select(
         "doc_id", F.lit("budget").alias("drop_reason")
     )
     s6 = s5.join(mix.where(F.col("keep")).select("doc_id"), "doc_id")
-    packed = pack_sequences(s6, tokens_col="n_tokens").select("doc_id", "seq_id", "seq_off")
+    packed = pack_sequences(s6, tokens_col=tcol).select("doc_id", "seq_id", "seq_off")
     drops = (
         drops_bench.unionByName(drops_quality)
         .unionByName(drops_exact)
@@ -292,7 +306,7 @@ def _decide(facts: DataFrame, all_pairs: DataFrame, params: dict) -> DataFrame:
     if drops_gopher is not None:
         drops = drops.unionByName(drops_gopher)
     out = (
-        facts.select("doc_id", "lang", "source", "n_tokens")
+        facts.select("doc_id", "lang", "source", F.col(tcol).alias("n_tokens"))
         .join(drops, "doc_id", "left")
         .join(packed, "doc_id", "left")
         .select(
@@ -328,6 +342,7 @@ def ingest_batch(batch_docs: DataFrame, store_dir: str, batch_id: str) -> dict:
         "budget_tokens": init["budget_tokens"],
         "threshold": init["threshold"],
         "gopher": init.get("gopher", False),
+        "tokenizer": init.get("tokenizer", "ws"),
     }
     n_docs, n_distinct, sig_str = incremental._input_sig(batch_docs)
     committed = [
@@ -400,6 +415,53 @@ def ingest_batch(batch_docs: DataFrame, store_dir: str, batch_id: str) -> dict:
         "t_sig_s": round(t_sig - t_facts, 3),
         "t_decide_s": round(t_manifest - t_sig, 3),
     }
+
+
+def ingest_stream(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """The curation-manifest store's ingest AS A STREAM (VERDICT r08 item
+    5) — completing the streaming story one level up from the signature
+    store: a Structured Streaming document source drained through
+    ``foreachBatch``, one ``ingest_batch`` per micro-batch with
+    ``batch_id = f"s{epoch_id:09d}"`` (the ``incremental.ingest_stream``
+    pattern, incremental.py:665). The store must be ``init_store``-ed with
+    its benchmark set before the stream starts — the benchmark defines
+    contamination for every future doc, so it cannot arrive ON the stream.
+
+    Exactly-once by the same DOUBLE-journal composition, now three deep:
+    Spark replays a failed epoch under the same epoch_id/offsets, the
+    curation journal's idempotent skip absorbs the retry, and the embedded
+    signature store's own journal (a third ledger) skips its already-
+    committed half independently — a crash BETWEEN the sig-store commit and
+    the curation commit retries into "sig skips, curation redoes from the
+    written band rows", exactly the torn-ingest case ``ingest_batch``'s
+    overwrite-idempotent writes are built for. Empty micro-batches return
+    without touching any journal.
+
+    Scale shape: per-epoch cost is ``ingest_batch``'s — ONE text pass over
+    the epoch (facts), O(epoch × collision rate) candidate work against
+    bucket-pruned stored band rows, and the narrow-column decision re-chain;
+    a continuous trigger gives a STANDING curation manifest over an arriving
+    corpus (drop reasons, keeper re-elections, budget line included) with no
+    full recompute anywhere."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(batch_df, store_dir, f"s{epoch_id:09d}")
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def manifest(spark: SparkSession, store_dir: str) -> DataFrame:

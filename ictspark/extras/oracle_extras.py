@@ -1101,7 +1101,9 @@ FROM assign"""
     _mix_target = (
         f"CAST(round((1.0 / (SELECT n_langs FROM nl5)) * {CURATE_BUDGET_TOKENS}) AS BIGINT)"
     )
-    def _manifest_sql(nd_src: str, gopher: bool = False, augment: bool = False) -> str:
+    def _manifest_sql(
+        nd_src: str, gopher: bool = False, augment: bool = False, tokenizer: str = "ws"
+    ) -> str:
         """The composed-pipeline CTE chain, parameterized on the near-dup
         shingle source: "sh3" (df-capped — the one-shot graded definition)
         or "sh3_all" (uncapped — the per-doc-pure definition the INCREMENTAL
@@ -1113,8 +1115,16 @@ FROM assign"""
         stopword-augmented fixture view (``__spark_entry__._docs_gopherable``
         mirrored): the raw synthetic corpus contains ZERO of the 8 published
         Gopher stopwords, so the un-augmented battery would annihilate it
-        and the graded gopher chains would attest nothing downstream."""
+        and the graded gopher chains would attest nothing downstream.
+        ``tokenizer`` (r09) switches the ntok CTE — the unit the budget
+        line, packing and reported n_tokens are measured in — between the
+        whitespace count and the shared ``_SUBWORD`` expression."""
         docs = "docs_aug" if augment else "documents"
+        ntok_expr = (
+            _SUBWORD
+            if tokenizer == "subword"
+            else "CAST(COALESCE(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0) AS BIGINT)"
+        )
         aug_cte = (
             """
 docs_aug AS (
@@ -1143,7 +1153,7 @@ s2 AS (SELECT * FROM s2q)"""
 WITH RECURSIVE{aug_cte}
 ntok AS (
   SELECT doc_id,
-         CAST(COALESCE(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0) AS BIGINT) AS n_tokens
+         {ntok_expr} AS n_tokens
   FROM {docs}
 ),
 qt AS (
@@ -1254,6 +1264,10 @@ LEFT JOIN packed p ON d.doc_id = p.doc_id"""
     # the COMBINED incremental path (per-doc facts incl. the Gopher verdict
     # through the journaled store), each under its own external oracle
     q["curation_manifest_gopher"] = _manifest_sql("sh3", gopher=True, augment=True)
+    # subword-budgeted one-shot manifest (VERDICT r08 item 6): the budget
+    # line, packing and n_tokens in training-spend units; the incremental
+    # subword store is pinned by test_incr_curation against this definition
+    q["curation_manifest_subword"] = _manifest_sql("sh3", tokenizer="subword")
     q["curation_manifest_incremental_gopher"] = _manifest_sql(
         "sh3_all", gopher=True, augment=True
     )
