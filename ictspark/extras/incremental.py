@@ -311,6 +311,7 @@ def ingest_batch(
     threshold: float = LSH_THRESHOLD,
     n_buckets: int = STORE_BUCKETS,
     hot_bucket_cap: int | None = None,
+    stored_rep_mode: bool = False,
 ) -> dict:
     """Ingest one batch of documents into the signature store; returns stats
     (per-phase timings, pruned-read bytes, bucket occupancy — the numbers
@@ -342,7 +343,34 @@ def ingest_batch(
     default path it aggregates the NEW batch only (O(batch) — the stored
     side isn't scanned an extra time per ingest), so store-side hot-bucket
     accumulation shows up there through ``n_collisions``, the candidate
-    join's true output size, not through ``max_bucket_occupancy``."""
+    join's true output size, not through ``max_bucket_occupancy``.
+
+    ``stored_rep_mode`` (VERDICT r08 item 4, opt-in): the connectivity-
+    sufficient stored side for the KEEP-LIST consumer. With r=1 banding on a
+    dup-dense corpus, the stored side of a hot bucket holds every MEMBER of
+    every component present, so per-batch candidate mass grows with cluster
+    membership forever. For keep decisions, connecting a new doc to the
+    COMPONENT suffices: the stored band rows are contracted to one row per
+    (band, bkey, component) whose doc_id IS the component label, so per-
+    bucket stored rows are bounded by component count, not membership.
+    Design note — the edge endpoint must be the LABEL, never a per-bucket
+    representative member: reps differ bucket-to-bucket, which SPLITS a new
+    doc's match count across rep ids and drops true edges below threshold
+    (a new doc matching a 2-member cluster in 30 buckets could score 15+15
+    and orphan). With the label endpoint, ``nm(new, label)`` counts bands
+    where ANY member shares the bucket — a RELAXATION of pair-level est:
+    it never under-counts a true (new, member) pair (every bucket that pair
+    shares also holds the component's contracted row), but it can cross the
+    threshold via bands contributed by DIFFERENT members when no single
+    pair would. So the PAIR SET is not the graded contract (like the
+    hot-bucket cap, this is a documented production knob, off by default)
+    while KEEP-LIST equality holds wherever clusters are tight (near-dup
+    members band-agree broadly) — pinned empirically by
+    test_stored_rep_mode_keep_equality across splits/arrival orders incl.
+    the exact-dup cascade; the saved stored-side mass is journaled
+    (``n_stored_rows`` vs ``n_rep_rows``). Costs one labels-side scan +
+    one distinct per ingest — O(pruned read), the rows the join consumes
+    anyway."""
     spark = batch_docs.sparkSession
     lin = _lineage(store_dir)
     entries = lin.entries()
@@ -481,6 +509,20 @@ def ingest_batch(
         & (F.col("a.bkey") == F.col("b.bkey"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    n_stored_rows = n_rep_rows = None
+    if stored is not None and stored_rep_mode:
+        # contract the stored side to one row per (band, bkey, component),
+        # endpoint = the component LABEL (see docstring: a per-bucket member
+        # rep would split match counts across rep ids and orphan true
+        # edges). The labels join scans the O(corpus) narrow snapshot once
+        # per ingest; the distinct shuffles only the pruned stored rows.
+        n_stored_rows = stored.count()
+        stored = (
+            stored.join(prior, "doc_id")
+            .select("band", "bkey", F.col("component").alias("doc_id"))
+            .distinct()
+        )
+        n_rep_rows = stored.count()
     if stored is not None:
         # scatter the pruned stored read before the probe join (r08 bench
         # finding): the bb-sorted layout lays every row of a hot (band,bkey)
@@ -629,6 +671,9 @@ def ingest_batch(
         n_collisions=int(n_collisions),
         max_bucket_occupancy=int(max_occ),
         n_hot_buckets_capped=n_hot,
+        stored_rep_mode=bool(stored_rep_mode),
+        n_stored_rows=n_stored_rows,
+        n_rep_rows=n_rep_rows,
         duration_s=round(t_labels - t0, 3),
     )
     # prune superseded labels snapshots (code-review r07: O(corpus) rows per
@@ -652,6 +697,9 @@ def ingest_batch(
         "n_collisions": int(n_collisions),
         "max_bucket_occupancy": int(max_occ),
         "n_hot_buckets_capped": n_hot,
+        "stored_rep_mode": bool(stored_rep_mode),
+        "n_stored_rows": n_stored_rows,
+        "n_rep_rows": n_rep_rows,
         "t_sig_s": round(t_sig - t0, 3),
         "t_cand_s": round(t_cand - t_sig, 3),
         "t_cc_s": round(t_cc - t_cand, 3),

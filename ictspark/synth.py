@@ -312,7 +312,13 @@ def ensure(sf_name: str) -> str:
 
 
 def synth_dir_for(sf_dir: str) -> str:
-    """Map a driver sf dir (/root/testdata/sf0.01) to our synthdata dir."""
+    """Map a driver sf dir (/root/testdata/sf0.01) to our synthdata dir. A
+    dir that already holds a transcripts.parquet (e.g. the split-halves
+    scaling experiment's symlink views, scripts/split_halves.py) is used
+    as-is — driver testdata dirs never contain transcripts, so the mapping
+    for them is unchanged."""
+    if os.path.exists(os.path.join(sf_dir, "transcripts.parquet")):
+        return sf_dir
     return ensure(os.path.basename(os.path.normpath(sf_dir)))
 
 

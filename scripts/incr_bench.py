@@ -157,6 +157,31 @@ def main() -> None:
         )
         print(f"capped {i}: {capped[-1]}", file=sys.stderr, flush=True)
 
+    # regime 5 (VERDICT r08 item 4): the SAME bulk ingest with the
+    # connectivity-sufficient stored side (stored_rep_mode) — stored rows
+    # contract to one per (band, bkey, component), so per-batch candidate
+    # mass is bounded by component count, not cluster membership; t_cand
+    # should FLATTEN where the exact store's grows. Keep-set equality is
+    # REPORTED (disagreements vs ground truth), not asserted — the pair set
+    # is a documented relaxation.
+    rstore = tempfile.mkdtemp(prefix="ictspark_incr_rep_")
+    rep_bulk = []
+    for i in range(n_batches):
+        b = bulk.where(F.col("doc_id") % n_batches == i)
+        t0 = time.time()
+        st = incremental.ingest_batch(b, rstore, f"b{i:03d}", stored_rep_mode=True)
+        rep_bulk.append(
+            {
+                "s": round(time.time() - t0, 2),
+                "t_cand_s": st["t_cand_s"],
+                "pairs": st["n_new_pairs"],
+                "collisions": st["n_collisions"],
+                "stored_rows": st["n_stored_rows"],
+                "rep_rows": st["n_rep_rows"],
+            }
+        )
+        print(f"rep {i}: {rep_bulk[-1]}", file=sys.stderr, flush=True)
+
     t0 = time.time()
     kl = incremental.keep_list(spark, store)
     d_incr = keep_digest(kl)
@@ -179,6 +204,18 @@ def main() -> None:
         ckl.join(fk, "doc_id").where(F.col("keep") != F.col("keep_true")).count()
     )
 
+    # rep-mode keep agreement vs ground truth — NOTE the rep store saw only
+    # the bulk corpus (no trickle), so compare against full over bulk
+    rkl = incremental.keep_list(spark, rstore).select("doc_id", "keep")
+    fbf = incremental.full_recompute(bulk).persist()
+    fb = keep_digest(fbf)
+    rep_disagree = (
+        rkl.join(fbf.select("doc_id", F.col("keep").alias("keep_true")), "doc_id")
+        .where(F.col("keep") != F.col("keep_true"))
+        .count()
+    )
+    fbf.unpersist()
+
     out = {
         "metric": "incremental_dedup_ingest",
         "store_format": incremental.STORE_FORMAT,
@@ -200,6 +237,9 @@ def main() -> None:
         "capped_bulk": capped,
         "hot_bucket_cap": CAP,
         "cap_keep_disagreements": cap_disagree,
+        "rep_mode_bulk": rep_bulk,
+        "rep_mode_keep_disagreements": rep_disagree,
+        "rep_mode_bulk_keepers_true": fb[0],
         "cpus": cpus,
     }
     spark.stop()

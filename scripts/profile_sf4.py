@@ -1,7 +1,11 @@
-"""One full sf4 pipeline run with the Spark UI enabled; pulls stage metrics
-from the REST API and prints the resource profile BENCH/BASELINE.md records
-(input bytes, shuffle bytes, per-phase wall time). Usage:
-    python scripts/profile_sf4.py [sf_name]
+"""One full sf4 pipeline run with the Spark UI enabled; snapshots stage
+metrics from the REST API BETWEEN phases, so shuffle bytes, input bytes and
+spill are attributed PER PHASE (VERDICT r08 item 1 — "per-phase shuffle bytes
+and spill in the sf4 run"). Usage:
+
+    taskset -c 0-31 python scripts/profile_sf4.py [sf_name]   # CPUs via env
+
+Env: SPARK_GRAFT_CPUS (default 32). Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -21,6 +25,26 @@ from ictspark import route as R
 from ictspark.pipeline import ReportSet
 from ictspark.session import get_spark
 
+GB = 1024**3
+# REST quantities summed per stage; spill fields are reported by the stages
+# endpoint alongside the byte counters
+FIELDS = {
+    "input_gb": "inputBytes",
+    "shuffle_write_gb": "shuffleWriteBytes",
+    "shuffle_read_gb": "shuffleReadBytes",
+    "mem_spill_gb": "memoryBytesSpilled",
+    "disk_spill_gb": "diskBytesSpilled",
+}
+
+
+def _snapshot(ui: str, app_id: str) -> dict[str, float]:
+    stages = json.loads(
+        urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        ).read()
+    )
+    return {k: sum(s.get(v, 0) for s in stages) for k, v in FIELDS.items()}
+
 
 def main() -> None:
     sf_name = sys.argv[1] if len(sys.argv) > 1 else "sf4"
@@ -31,45 +55,51 @@ def main() -> None:
     d = synth.ensure(sf_name)
     t = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
     tool_dim = spark.read.parquet(os.path.join(d, "tool_dim.parquet"))
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
 
-    phases: dict[str, float] = {}
+    phases: dict[str, dict] = {}
+    last = _snapshot(ui, app_id)
 
     def timed(name, fn):
+        nonlocal last
         t0 = time.time()
         fn()
-        phases[name] = round(time.time() - t0, 2)
+        wall = round(time.time() - t0, 2)
+        now = _snapshot(ui, app_id)
+        phases[name] = {"wall_s": wall} | {
+            k: round((now[k] - last[k]) / GB, 3) for k in FIELDS
+        }
+        last = now
 
     rs = ReportSet(t, tool_dim)
     timed("materialize", rs.materialize)
     timed("reports", lambda: [df.count() for df in rs.all_reports().values()])
-    timed("product_composite", lambda: [df.count() for df in rs.product_reports().values()])
+    timed(
+        "product_composite",
+        lambda: [df.count() for df in rs.product_reports().values()],
+    )
     tmp = tempfile.mkdtemp(prefix="ictspark_prof_")
     try:
         timed(
             "route_write",
-            lambda: R.write_routed(rs.enriched(), f"{tmp}/routed", files_per_partition=max(1, cpus // 4)),
+            lambda: R.write_routed(
+                rs.enriched(), f"{tmp}/routed", files_per_partition=max(1, cpus // 4)
+            ),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    ui = spark.sparkContext.uiWebUrl
-    app_id = spark.sparkContext.applicationId
-    stages = json.loads(
-        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete").read()
-    )
-    gb = 1024**3
     out = {
         "sf": sf_name,
         "cpus": cpus,
         "turns": t.count(),
-        "phases_s": phases,
-        "e2e_s": round(sum(phases.values()), 2),
-        "input_gb": round(sum(s.get("inputBytes", 0) for s in stages) / gb, 2),
-        "shuffle_write_gb": round(sum(s.get("shuffleWriteBytes", 0) for s in stages) / gb, 2),
-        "shuffle_read_gb": round(sum(s.get("shuffleReadBytes", 0) for s in stages) / gb, 2),
-        "n_stages": len(stages),
+        "phases": phases,
+        "e2e_s": round(sum(p["wall_s"] for p in phases.values()), 2),
+        "totals": {
+            k: round(sum(p[k] for p in phases.values()), 3) for k in FIELDS
+        },
     }
-    out["shuffle_to_input_ratio"] = round(out["shuffle_write_gb"] / max(out["input_gb"], 1e-9), 3)
     rs.unpersist()
     spark.stop()
     print(json.dumps(out))

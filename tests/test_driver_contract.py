@@ -39,31 +39,34 @@ SCALE_CRITICAL = {
 }
 
 
-# The EXACT r08 window (ADVICE r03: pin the full 50-entry list, not just a
+# The EXACT r09 window (ADVICE r03: pin the full 50-entry list, not just a
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
-# r08 fills the window by accumulated-green count ascending over
-# CORRECTNESS_r01..r07: the four r08 additions lead (0-green by
-# construction), then the four once-green r07 debutants (dedup_incremental
-# re-attests under the v2 bucketed store), the 8 twice-green
-# (curation_manifest re-attests after the incremental-manifest change),
-# the 21 thrice-green, and the first 13 four-green in registry order.
-R08_WINDOW = [
-    "gopher_rules", "curation_manifest_incremental",
-    "semantic_dedup_incremental", "nb_quality_score", "prototypicality",
-    "dedup_incremental", "lm_score_reference", "mixture_plan_subword",
-    "bigram_logprob", "semantic_dup_pairs", "semantic_keep_list",
-    "pack_sequences", "mixture_plan", "tool_chain_stats", "curation_manifest",
-    "training_order", "export_matrix_vertical", "repetition_score",
-    "events_day_0600", "tpch_q1like", "tpch_q5like", "parts_by_brand",
-    "top_customers", "events_sessionize", "lang_id", "step_series",
-    "step_histogram", "step_cpk_trend", "failed_boards_display",
-    "product_hourly", "product_daily_failures", "product_failed_boards",
-    "ann_bruteforce", "ann_bucketed", "embedding_dup_pairs", "media_stats",
-    "frame_sample_plan", "product_workbook", "limit_regime_asof",
-    "error_bursts", "tool_latency", "winnow_fingerprint", "winnow_reuse_pairs",
-    "unigram_logprob", "dedup_keep_list", "corpus_mix", "contamination_check",
-    "ann_quantized_rerank", "embedding_norm_stats", "media_dedup",
+# r09 fills the window by accumulated-green count ascending over
+# CORRECTNESS_r01..r08: the four r09 additions lead (0-green by
+# construction — paragraph_dedup and the gopher/subword manifest entries),
+# then the four once-green r08 additions, the 4 twice-green, the 8
+# thrice-green (the manifest/mixture/pack family re-attests after the
+# tokenizer/para_dedup/empty-input changes; the two incremental stores
+# re-attest after the empty-batch and rep-mode changes), and the first 30
+# four-green in registry order.
+R09_WINDOW = [
+    "paragraph_dedup", "curation_manifest_gopher", "curation_manifest_subword",
+    "curation_manifest_incremental_gopher", "gopher_rules",
+    "curation_manifest_incremental", "semantic_dedup_incremental",
+    "nb_quality_score", "prototypicality", "dedup_incremental",
+    "lm_score_reference", "mixture_plan_subword", "bigram_logprob",
+    "semantic_dup_pairs", "semantic_keep_list", "pack_sequences",
+    "mixture_plan", "tool_chain_stats", "curation_manifest", "training_order",
+    "export_matrix_vertical", "repetition_score", "events_day_0600",
+    "tpch_q1like", "tpch_q5like", "parts_by_brand", "top_customers",
+    "events_sessionize", "lang_id", "step_series", "step_histogram",
+    "step_cpk_trend", "failed_boards_display", "product_hourly",
+    "product_daily_failures", "product_failed_boards", "ann_bruteforce",
+    "ann_bucketed", "embedding_dup_pairs", "media_stats", "frame_sample_plan",
+    "mb_result_boxes", "events_hourly", "events_shift_buckets",
+    "export_matrix_failed", "export_matrix_final_run", "tool_call_stats",
+    "tool_call_args_hist", "retest_marker_parity", "reassembly_check",
 ]
 
 
@@ -93,7 +96,7 @@ def test_scale_critical_queries_graded_or_proven():
 
 
 def test_exact_driver_window_pinned():
-    assert list(E.queries())[:50] == R08_WINDOW
+    assert list(E.queries())[:50] == R09_WINDOW
 
 
 def test_every_query_has_an_oracle():

@@ -207,6 +207,50 @@ def test_hot_bucket_cap(spark, docs, tmp_path_factory):
     assert st["max_bucket_occupancy"] > 1
 
 
+def test_stored_rep_mode_keep_equality(spark, docs, tmp_path_factory):
+    """VERDICT r08 item 4: the connectivity-sufficient stored side
+    (stored_rep_mode=True — one contracted row per (band, bkey, component),
+    endpoint = the component label). The PAIR SET is a documented relaxation,
+    but the KEEP LIST must equal the one-shot recompute on the fixture corpus
+    across splits AND arrival orders, including the exact-dup cascade (a
+    later batch's smaller-id exact copy re-labels a stored component whose
+    contracted rows later batches connect through)."""
+    full = _kl(incremental.full_recompute(docs))
+    for tag, (mod, order) in {"r3": (3, range(3)), "r2": (2, (1, 0))}.items():
+        store = str(tmp_path_factory.mktemp(f"incr_rep_{tag}"))
+        stats = [
+            incremental.ingest_batch(
+                docs.where(F.col("doc_id") % mod == i), store, f"{tag}b{i}",
+                stored_rep_mode=True,
+            )
+            for i in order
+        ]
+        late = stats[-1]
+        assert late["stored_rep_mode"] and late["n_rep_rows"] <= late["n_stored_rows"]
+        assert _kl(incremental.keep_list(spark, store)) == full
+    # exact-dup cascade: b1 forms {100,101}; b2's doc 50 is an exact copy of
+    # 100 (label re-elects to 50); b3's doc 200 near-dups 101 and must
+    # connect THROUGH the re-labeled component's contracted rows
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = {
+        100: base,
+        101: base + "lambda mu",
+        50: base,  # exact copy of 100, smaller id
+        200: base + "nu xi",
+    }
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(i, rows[i]) for i in ids], "doc_id long, text string"
+    )
+    union = mk(sorted(rows))
+    for order in (([100, 101], [50], [200]), ([200], [100, 101], [50])):
+        store = str(tmp_path_factory.mktemp("incr_rep_casc"))
+        for j, ids in enumerate(order):
+            incremental.ingest_batch(mk(ids), store, f"c{j}", stored_rep_mode=True)
+        assert _kl(incremental.keep_list(spark, store)) == _kl(
+            incremental.full_recompute(union)
+        )
+
+
 def test_shingleless_batch_ingests(spark, docs, tmp_path_factory):
     """ADVICE r08 (medium): a non-empty batch whose docs all have <3
     whitespace tokens yields ZERO band rows; the partitionBy write of that
