@@ -363,11 +363,18 @@ def ingest_batch(
     shares also holds the component's contracted row), but it can cross the
     threshold via bands contributed by DIFFERENT members when no single
     pair would. So the PAIR SET is not the graded contract (like the
-    hot-bucket cap, this is a documented production knob, off by default)
-    while KEEP-LIST equality holds wherever clusters are tight (near-dup
-    members band-agree broadly) — pinned empirically by
+    hot-bucket cap, this is a documented production knob, off by default),
+    and KEEP-LIST equality holds only where clusters are TIGHT (near-dup
+    members band-agree broadly, so the component's band union ≈ each
+    member's bands) — pinned empirically by
     test_stored_rep_mode_keep_equality across splits/arrival orders incl.
-    the exact-dup cascade; the saved stored-side mass is journaled
+    the exact-dup cascade. On chain-structured dup-dense corpora it does
+    NOT hold: the sf1 measurement (BENCH/BASELINE.md r09) shows t_cand
+    flattening as designed (rep rows bounded by component count, 0.69 M vs
+    1.68 M member rows by batch 5) but merges snowballing through the
+    band-union relaxation — 31,440 / 49,968 keep flags diverge. Use only
+    on tight-cluster corpora; the exact path stays the default and the
+    graded contract. The saved stored-side mass is journaled
     (``n_stored_rows`` vs ``n_rep_rows``). Costs one labels-side scan +
     one distinct per ingest — O(pruned read), the rows the join consumes
     anyway."""
