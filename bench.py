@@ -141,6 +141,11 @@ def main() -> None:
             ),
         ).count(),
     )
+    timed_x("paragraph_dedup", lambda: dedup.paragraph_dedup(docs).count())
+    timed_x(
+        "repeated_ngram_spans",
+        lambda: dedup.repeated_ngram_spans(docs, k=8).count(),
+    )
     timed_x("curation_manifest", lambda: curation.curate_pipeline(docs).count())
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)

@@ -551,6 +551,7 @@ def curate_pipeline(
     near_dup_max_df: int | None = MAX_SHINGLE_DF,
     gopher: bool = False,
     para_dedup: bool = False,
+    span_dedup_k: int | None = None,
     tokenizer: str = "ws",
 ) -> DataFrame:
     """The END-TO-END curation manifest (VERDICT r05 item 2): the operators
@@ -567,6 +568,12 @@ def curate_pipeline(
                          wide repeated-paragraph dedup (dedup.paragraph_dedup,
                          Lee et al. 2021) replaces every doc's text with its
                          paragraph-deduped form before any doc-level stage;
+      0b. (opt-in, ``span_dedup_k=K``, also a REWRITE) corpus-wide repeated
+                         K-token-gram span removal (dedup.repeated_ngram_spans
+                         — the exact-substring half of Lee et al. 2021) after
+                         the paragraph stage: paragraphs catch author-
+                         delimited boilerplate, spans catch the inlined rest.
+                         Same pure pre-composition contract;
       1. 'benchmark'     the held-out eval set is never trained on (it still
                          DEFINES the contamination shingles below). The set
                          is ``benchmark_docs`` when given (the PRODUCTION
@@ -638,6 +645,17 @@ def curate_pipeline(
         from ictspark.extras.dedup import paragraph_dedup
 
         rewritten = paragraph_dedup(documents).select(
+            "doc_id", F.col("new_text").alias("text")
+        )
+        documents = documents.drop("text").join(rewritten, "doc_id")
+
+    if span_dedup_k is not None:
+        # stage 0b (opt-in, r09): repeated K-token-gram span REWRITE
+        # (dedup.repeated_ngram_spans) after the paragraph stage — same
+        # pure pre-composition contract, pinned by test_extras.
+        from ictspark.extras.dedup import repeated_ngram_spans
+
+        rewritten = repeated_ngram_spans(documents, k=span_dedup_k).select(
             "doc_id", F.col("new_text").alias("text")
         )
         documents = documents.drop("text").join(rewritten, "doc_id")

@@ -601,3 +601,117 @@ def paragraph_dedup(documents: DataFrame) -> DataFrame:
         F.round(F.try_divide("n_removed", "n_paras"), 4).alias("removed_para_frac"),
         F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
+
+
+def repeated_ngram_spans(
+    documents: DataFrame, k: int = 10, min_span: int | None = None
+) -> DataFrame:
+    """Corpus-wide repeated TOKEN-SPAN removal — the exact-substring half
+    of Lee et al. 2021 (their suffix-array ExactSubstr at 50 tokens),
+    re-expressed at k-token-gram granularity so it distributes: any
+    substring repeat of >= k whitespace tokens shares at least one k-gram,
+    and a doc position sits in a removed span iff a repeated, non-keeper
+    k-gram occurrence covers it. `paragraph_dedup` catches boilerplate the
+    author delimited; this catches the spans they didn't (inlined license
+    text, quoted replies, templated sentences) at token granularity.
+
+    Semantics: tokens are the non-empty ``\\s+`` splits of ``text``,
+    positioned 0-based after filtering. Every k-gram occurrence ``(doc_id,
+    s)`` of a k-gram value that occurs >= 2 times corpus-wide is a
+    duplicate UNLESS it is the value's keeper = lexicographically-min
+    (doc_id, s) — so exactly one copy of every repeated region survives
+    globally, the min-id keeper rule at token granularity. Each duplicate
+    occurrence covers token positions [s, s+k-1]; per doc, overlapping or
+    adjacent covered ranges merge into maximal spans, spans shorter than
+    ``min_span`` (default k) are forgiven, and surviving spans are cut
+    from the rewrite. Output one row per input doc: (doc_id, n_tokens,
+    removed_tokens, removed_frac, new_text) — new_text re-joins kept
+    tokens with single spaces (canonical whitespace, like the rewrite
+    emitters upstream).
+
+    Scale shape: shingling is a PURE MAP stage (the k-gram strings are
+    built inside a per-row array transform — transiently ~k x |doc| bytes
+    per row, traded against the Exchange+sort a lead()-window shingle
+    would cost); the keeper agg is one min-STRUCT + count groupBy on the
+    k-gram md5 with map-side partial combine, so a k-gram repeated 10^7
+    times collapses inside each scan partition before the shuffle; the
+    join back is one equi-join against one row per distinct k-gram; span
+    merging is per-doc array math on collected duplicate starts (bounded
+    by doc length, no window over the corpus). No cartesian anywhere."""
+    if min_span is None:
+        min_span = k
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-gram span removes every repeated token)")
+    if min_span < k:
+        raise ValueError(f"min_span {min_span} < k {k}: spans are unions of k-windows")
+    toks = F.filter(
+        F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
+    )
+    base = documents.select(
+        "doc_id", toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    shingles = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    occs = base.select(
+        "doc_id", F.posexplode(shingles).alias("s", "sh")
+    ).select("doc_id", "s", F.md5("sh").alias("h"))
+    first = occs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "s")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dups = (
+        occs.join(first, "h")
+        .where(
+            (F.col("cnt") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("s") == F.col("first.s"))
+            )
+        )
+        .select("doc_id", "s")
+    )
+    merged = dups.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("starts")
+    ).withColumn(
+        "spans",
+        F.expr(
+            f"""filter(
+                 aggregate(starts,
+                   cast(array() as array<struct<lo:int,hi:int>>),
+                   (acc, st) -> if(size(acc) = 0 or st > element_at(acc, -1).hi + 1,
+                     concat(acc, array(struct(st as lo, st + {k} - 1 as hi))),
+                     concat(slice(acc, 1, size(acc) - 1),
+                            array(struct(element_at(acc, -1).lo as lo,
+                                         st + {k} - 1 as hi))))),
+                 iv -> iv.hi - iv.lo + 1 >= {min_span})"""
+        ),
+    ).select("doc_id", "spans")
+    out = base.join(merged, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", F.expr("cast(array() as array<struct<lo:int,hi:int>>)"))
+    )
+    kept = F.filter(
+        "toks",
+        lambda w, i: ~F.exists(
+            "spans", lambda iv: (i >= iv["lo"]) & (i <= iv["hi"])
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "spans", F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1
+        ).cast("bigint").alias("removed_tokens"),
+        F.round(
+            F.try_divide(
+                F.aggregate("spans", F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1),
+                F.col("n_tokens"),
+            ),
+            4,
+        ).alias("removed_frac"),
+        F.array_join(kept, " ").alias("new_text"),
+    )

@@ -702,6 +702,72 @@ SELECT d.doc_id,
        COALESCE(a.new_text, '') AS new_text
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+    # repeated_ngram_spans (r09): k=8 token-gram spans, keeper = global
+    # lexicographic-min (doc_id, s) per k-gram (two grouped mins, the
+    # paragraph_dedup shape); islands-and-gaps merges covered ranges
+    # (break when s - prev > k, the Spark interval-merge condition)
+    q["repeated_ngram_spans"] = """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(COALESCE(text, ''), '\\s+')) AS token,
+         unnest(generate_series(1, len(string_split_regex(COALESCE(text, ''), '\\s+')))) AS rp
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS pos
+  FROM raw WHERE token <> ''
+),
+arr AS (
+  SELECT doc_id, list(token ORDER BY pos) AS tl, COUNT(*) AS n
+  FROM toks GROUP BY 1
+),
+occs AS (
+  SELECT a.doc_id, u.s,
+         md5(array_to_string(a.tl[CAST(u.s AS INT) + 1 : CAST(u.s AS INT) + 8], ' ')) AS h
+  FROM arr a, unnest(generate_series(0, a.n - 8)) AS u(s)
+  WHERE a.n >= 8
+),
+f1 AS (SELECT h, MIN(doc_id) AS fdoc, COUNT(*) AS cnt FROM occs GROUP BY 1),
+f2 AS (
+  SELECT o.h, f1.fdoc, MIN(o.s) AS fs, MAX(f1.cnt) AS cnt
+  FROM occs o JOIN f1 ON o.h = f1.h AND o.doc_id = f1.fdoc
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT o.doc_id, o.s FROM occs o JOIN f2 USING (h)
+  WHERE f2.cnt >= 2 AND NOT (o.doc_id = f2.fdoc AND o.s = f2.fs)
+),
+isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS g
+  FROM (SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev FROM dup)
+),
+spans AS (
+  SELECT doc_id, MIN(s) AS lo, MAX(s) + 8 - 1 AS hi
+  FROM isl GROUP BY doc_id, g
+),
+rem AS (SELECT doc_id, SUM(hi - lo + 1) AS removed FROM spans GROUP BY 1),
+ka AS (
+  SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.pos) AS new_text
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.lo AND sp.hi)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens,
+       ROUND(COALESCE(r.removed, 0) * 1.0 / NULLIF(COALESCE(a.n, 0), 0), 4) AS removed_frac,
+       COALESCE(ka.new_text, '') AS new_text
+FROM documents d
+LEFT JOIN arr a USING (doc_id)
+LEFT JOIN rem r USING (doc_id)
+LEFT JOIN ka USING (doc_id)"""
+
     q["repetition_score"] = f"""
 WITH {_TOKS},
 tri AS (

@@ -1532,3 +1532,86 @@ def test_nb_beats_unigram_on_boilerplate(spark):
     assert min(nb[100 + i][0] for i in range(3)) > max(nb[i][0] for i in range(20))
     assert all(nb[100 + i][1] for i in range(3))
     assert not any(nb[i][1] for i in range(20))
+
+
+def test_repeated_ngram_spans_planted(spark):
+    """Lee et al. 2021 exact-substring shape at k-gram granularity: a
+    repeated token span survives ONLY at its globally-min (doc_id, s)
+    occurrence; covered ranges merge into maximal spans; sub-k docs, clean
+    docs and NULL text pass through; guards reject degenerate sizing."""
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one two three " + boiler + " tail x y z"),
+            (2, "other start " + boiler + " end p q"),
+            (3, "clean doc with no repeats at all in here"),
+            (4, "tiny"),
+            (5, None),
+            (6, boiler),  # exact copy of the span only -> fully removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.repeated_ngram_spans(docs, k=5).collect()}
+    # keeper doc (min doc_id) keeps the boilerplate verbatim
+    assert out[1]["removed_tokens"] == 0
+    assert " ".join(["b0", "b1", "b2"]) in out[1]["new_text"]
+    # later docs lose the merged 12-token span, context survives
+    assert out[2]["removed_tokens"] == 12
+    assert out[2]["new_text"] == "other start end p q"
+    assert out[2]["removed_frac"] == round(12 / 17, 4)
+    assert out[6]["removed_tokens"] == 12 and out[6]["new_text"] == ""
+    assert out[6]["removed_frac"] == 1.0
+    # clean / sub-k / NULL docs pass through
+    assert out[3]["removed_tokens"] == 0 and out[3]["removed_frac"] == 0.0
+    assert out[4]["n_tokens"] == 1 and out[4]["removed_tokens"] == 0
+    assert out[5]["n_tokens"] == 0 and out[5]["removed_frac"] is None
+    assert out[5]["new_text"] == ""
+    # min_span > k forgives short spans: with min_span=15 nothing is cut
+    lenient = {
+        r["doc_id"]: r
+        for r in dedup.repeated_ngram_spans(docs, k=5, min_span=15).collect()
+    }
+    assert lenient[2]["removed_tokens"] == 0 and lenient[6]["removed_tokens"] == 0
+    with pytest.raises(ValueError):
+        dedup.repeated_ngram_spans(docs, k=1)
+    with pytest.raises(ValueError):
+        dedup.repeated_ngram_spans(docs, k=5, min_span=4)
+
+
+def test_curate_pipeline_optional_span_dedup_stage(spark):
+    """span_dedup_k=K is pure pre-composition after the paragraph stage:
+    the manifest equals curate_pipeline over the span-rewritten corpus, and
+    the stage does real work a paragraph split cannot — the repeated span
+    is INLINED mid-paragraph, so paragraph_dedup alone would not touch it."""
+    from ictspark.extras import curation
+    from ictspark.extras.dedup import repeated_ngram_spans
+
+    boiler = " ".join(f"boiler{i}" for i in range(20))
+    base = " ".join(
+        f"w{i} {w}" for i, w in enumerate(
+            ["the", "be", "to", "of", "and", "that", "have", "with"] * 5
+        )
+    )
+    rows = [
+        (40, f"{base} one {boiler} closer", "en", "src0"),
+        (41, f"{base} two {boiler} other end", "en", "src0"),
+        (42, f"{base} three", "en", "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    rewritten = docs.drop("text").join(
+        repeated_ngram_spans(docs, k=8).select(
+            "doc_id", F.col("new_text").alias("text")
+        ),
+        "doc_id",
+    )
+    got = sorted(
+        tuple(r) for r in curation.curate_pipeline(docs, span_dedup_k=8).collect()
+    )
+    want = sorted(tuple(r) for r in curation.curate_pipeline(rewritten).collect())
+    assert got == want
+    # doc 41 (non-keeper) lost the inlined 20-token span
+    toks = {r[0]: r[3] for r in got}
+    raw41 = docs.where(F.col("doc_id") == 41).select(
+        F.size(F.split("text", r"\s+")).alias("n")
+    ).first()["n"]
+    assert toks[41] <= raw41 - 20
