@@ -702,6 +702,11 @@ SELECT d.doc_id,
        COALESCE(a.new_text, '') AS new_text
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+    # paragraph_dedup_incremental (r09): the store's N-batch ingest must
+    # equal the one-shot definition over the union corpus — same SQL; the
+    # hash match is what proves the journaled-store path
+    q["paragraph_dedup_incremental"] = q["paragraph_dedup"]
+
     # repeated_ngram_spans (r09): k=8 token-gram spans, keeper = global
     # lexicographic-min (doc_id, s) per k-gram (two grouped mins, the
     # paragraph_dedup shape); islands-and-gaps merges covered ranges
