@@ -809,3 +809,74 @@ def training_order(documents: DataFrame, seed: str = "epoch0") -> DataFrame:
             (F.col("brnk") + F.col("off")).cast("bigint").alias("global_rank"),
         )
     )
+
+
+DSIR_BUCKETS = 4096
+
+
+def dsir_weights(
+    raw_docs: DataFrame, target_docs: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169) — the
+    standard target-domain data-selection method: score every raw doc by
+    how much more likely its hashed n-gram bag is under the TARGET
+    distribution than under the RAW distribution,
+
+        log w(doc) = sum over n-gram occurrences of
+                     ln p_target[b] - ln p_raw[b],
+        p[b] = (count[b] + 1) / (total + n_buckets)      (add-one),
+
+    where b is the n-gram's hash bucket (unigrams + bigrams of the
+    family's shared whitespace tokenization, md5-hashed into ``n_buckets``
+    buckets — hashing is what makes the feature space fixed-size and the
+    two count tables broadcastable regardless of corpus vocabulary).
+    Resample raw docs proportionally to w (or threshold log w) to tilt a
+    generic crawl toward the target domain. Output, one row per raw doc:
+    (doc_id, n_feats, logw) — logw is length-accumulated (longer on-target
+    docs score higher), exactly the paper's bag formulation; divide by
+    n_feats downstream for a length-free rank if wanted.
+
+    Plan: two fixed-size count aggs (≤ n_buckets rows each, map-side
+    combinable) full-outer-merged into ONE broadcast log-ratio table; the
+    raw side's feature stream equi-joins it (broadcast — the build side is
+    bounded by n_buckets, never by vocabulary) and folds per doc. The only
+    window is the per-doc bigram lead. All JVM-side."""
+    bucket = lambda c: F.pmod(  # noqa: E731 — md5-prefix bucket, the
+        # stratified_sample/simhash idiom: first 8 hex chars as an int
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+    def feats(docs: DataFrame) -> DataFrame:
+        from ictspark.extras.textstats import _bigram_stream
+
+        toks, bg = _bigram_stream(docs)
+        uni = toks.select("doc_id", bucket(F.col("token")).alias("b"))
+        bi = bg.select(
+            "doc_id", bucket(F.concat_ws(" ", "token", "t2")).alias("b")
+        )
+        return uni.unionByName(bi)
+
+    tf = feats(target_docs)
+    rf = feats(raw_docs)
+    tcnt = tf.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rcnt = rf.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ttot = tf.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    rtot = rf.agg(F.count(F.lit(1)).cast("double").alias("rt"))
+    ratio = (
+        tcnt.join(rcnt, "b", "full_outer")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1.0) / (F.col("tt") + n_buckets))
+                - F.log((F.coalesce("cr", F.lit(0)) + 1.0) / (F.col("rt") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return rf.join(F.broadcast(ratio), "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.round(F.sum("lr"), 6).alias("logw"),
+    )

@@ -773,6 +773,38 @@ LEFT JOIN arr a USING (doc_id)
 LEFT JOIN rem r USING (doc_id)
 LEFT JOIN ka USING (doc_id)"""
 
+    # dsir_weights (r09, Xie et al. 2023): hashed unigram+bigram importance
+    # log-ratios, target = doc_id%5==0 split, 4096 md5-prefix buckets (the
+    # '0x'||substr(md5,.) idiom); ln() not log() — DuckDB log is base 10
+    q["dsir_weights"] = f"""
+WITH {_TOKS},
+feats AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS b
+  FROM toks
+  UNION ALL
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token || ' ' || t2), 1, 8) AS BIGINT) % 4096 AS b
+  FROM (SELECT doc_id, token,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM toks)
+  WHERE t2 IS NOT NULL
+),
+tfe AS (SELECT * FROM feats WHERE doc_id % 5 = 0),
+rfe AS (SELECT * FROM feats WHERE doc_id % 5 <> 0),
+tc AS (SELECT b, COUNT(*) AS ct FROM tfe GROUP BY 1),
+rc AS (SELECT b, COUNT(*) AS cr FROM rfe GROUP BY 1),
+tt AS (SELECT COUNT(*) * 1.0 AS tt FROM tfe),
+rt AS (SELECT COUNT(*) * 1.0 AS rt FROM rfe),
+ratio AS (
+  SELECT COALESCE(tc.b, rc.b) AS b,
+         ln((COALESCE(ct, 0) + 1.0) / (tt + 4096))
+         - ln((COALESCE(cr, 0) + 1.0) / (rt + 4096)) AS lr
+  FROM tc FULL OUTER JOIN rc ON tc.b = rc.b, tt, rt
+)
+SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, ROUND(SUM(lr), 6) AS logw
+FROM rfe r JOIN ratio USING (b)
+GROUP BY 1"""
+
     q["repetition_score"] = f"""
 WITH {_TOKS},
 tri AS (

@@ -1615,3 +1615,34 @@ def test_curate_pipeline_optional_span_dedup_stage(spark):
         F.size(F.split("text", r"\s+")).alias("n")
     ).first()["n"]
     assert toks[41] <= raw41 - 20
+
+
+def test_dsir_weights_separate_domains(spark):
+    """Xie et al. 2023 contract: raw docs sharing the TARGET domain's
+    n-grams get positive log importance weights, off-domain docs negative;
+    hashed features make the tables fixed-size. Deterministic across runs;
+    featureless (NULL-text) docs emit no row, the lm_score convention."""
+    from ictspark.extras.curation import dsir_weights
+
+    target = spark.createDataFrame(
+        [
+            (100 + i, "physics energy quantum field theory lattice gauge boson")
+            for i in range(5)
+        ],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum field lattice boson energy physics theory"),
+            (2, "recipe garlic onion butter simmer salt pepper taste"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert set(out) == {1, 2}  # the NULL-text doc has no features
+    assert out[1]["logw"] > 0 > out[2]["logw"]
+    # unigrams + bigrams: n tokens -> 2n-1 features
+    assert out[1]["n_feats"] == 13 and out[2]["n_feats"] == 15
+    again = {r["doc_id"]: r["logw"] for r in dsir_weights(raw, target).collect()}
+    assert again == {d: r["logw"] for d, r in out.items()}
