@@ -637,7 +637,14 @@ def repeated_ngram_spans(
     times collapses inside each scan partition before the shuffle; the
     join back is one equi-join against one row per distinct k-gram; span
     merging is per-doc array math on collected duplicate starts (bounded
-    by doc length, no window over the corpus). No cartesian anywhere."""
+    by doc length, no window over the corpus). No cartesian anywhere.
+    The occurrence set feeds BOTH the keeper agg and the join probe side —
+    a materialization barrier after the shingle build stops the declarative
+    double text-scan (measured 40.8 -> 18.5 s at sf1/32, same session):
+    a RELIABLE checkpoint when the session has one configured (the
+    real-cluster path — at 100 TB this is the stage output a pipeline
+    persists anyway), localCheckpoint otherwise (the curate_pipeline
+    barrier rule)."""
     if min_span is None:
         min_span = k
     if k < 2:
@@ -660,6 +667,12 @@ def repeated_ngram_spans(
     occs = base.select(
         "doc_id", F.posexplode(shingles).alias("s", "sh")
     ).select("doc_id", "s", F.md5("sh").alias("h"))
+    sc = documents.sparkSession.sparkContext
+    occs = (
+        occs.checkpoint(eager=True)
+        if sc.getCheckpointDir() is not None
+        else occs.localCheckpoint(eager=True)
+    )
     first = occs.groupBy("h").agg(
         F.min(F.struct("doc_id", "s")).alias("first"),
         F.count(F.lit(1)).alias("cnt"),
