@@ -603,6 +603,79 @@ def paragraph_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _span_base(documents: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """Shared head of the token-span family: (per-doc token arrays, k-gram
+    occurrence stream (doc_id, s, h)) under the family's whitespace
+    tokenization. The shingle strings are built inside a per-row array
+    transform — a pure map stage, no lead-window Exchange."""
+    toks = F.filter(
+        F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
+    )
+    base = documents.select(
+        "doc_id", toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    shingles = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    occs = base.select(
+        "doc_id", F.posexplode(shingles).alias("s", "sh")
+    ).select("doc_id", "s", F.md5("sh").alias("h"))
+    return base, occs
+
+
+def _cut_spans(
+    base: DataFrame, starts: DataFrame, k: int, min_span: int
+) -> DataFrame:
+    """Shared tail: merge each doc's duplicate k-gram starts into maximal
+    covered spans (per-doc array math — overlapping or adjacent k-windows
+    fuse; break when the next start clears the running end by > 1), forgive
+    spans under ``min_span``, cut the rest from the rewrite."""
+    merged = starts.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("starts")
+    ).withColumn(
+        "spans",
+        F.expr(
+            f"""filter(
+                 aggregate(starts,
+                   cast(array() as array<struct<lo:int,hi:int>>),
+                   (acc, st) -> if(size(acc) = 0 or st > element_at(acc, -1).hi + 1,
+                     concat(acc, array(struct(st as lo, st + {k} - 1 as hi))),
+                     concat(slice(acc, 1, size(acc) - 1),
+                            array(struct(element_at(acc, -1).lo as lo,
+                                         st + {k} - 1 as hi))))),
+                 iv -> iv.hi - iv.lo + 1 >= {min_span})"""
+        ),
+    ).select("doc_id", "spans")
+    out = base.join(merged, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", F.expr("cast(array() as array<struct<lo:int,hi:int>>)"))
+    )
+    kept = F.filter(
+        "toks",
+        lambda w, i: ~F.exists(
+            "spans", lambda iv: (i >= iv["lo"]) & (i <= iv["hi"])
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "spans", F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1
+        ).cast("bigint").alias("removed_tokens"),
+        F.round(
+            F.try_divide(
+                F.aggregate("spans", F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1),
+                F.col("n_tokens"),
+            ),
+            4,
+        ).alias("removed_frac"),
+        F.array_join(kept, " ").alias("new_text"),
+    )
+
+
 def repeated_ngram_spans(
     documents: DataFrame, k: int = 10, min_span: int | None = None
 ) -> DataFrame:
@@ -651,22 +724,7 @@ def repeated_ngram_spans(
         raise ValueError("k must be >= 2 (a 1-gram span removes every repeated token)")
     if min_span < k:
         raise ValueError(f"min_span {min_span} < k {k}: spans are unions of k-windows")
-    toks = F.filter(
-        F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
-    )
-    base = documents.select(
-        "doc_id", toks.alias("toks")
-    ).withColumn("n_tokens", F.size("toks"))
-    shingles = F.when(
-        F.col("n_tokens") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.col("n_tokens") - k),
-            lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
-    occs = base.select(
-        "doc_id", F.posexplode(shingles).alias("s", "sh")
-    ).select("doc_id", "s", F.md5("sh").alias("h"))
+    base, occs = _span_base(documents, k)
     sc = documents.sparkSession.sparkContext
     occs = (
         occs.checkpoint(eager=True)
@@ -688,43 +746,39 @@ def repeated_ngram_spans(
         )
         .select("doc_id", "s")
     )
-    merged = dups.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("s")).alias("starts")
-    ).withColumn(
-        "spans",
-        F.expr(
-            f"""filter(
-                 aggregate(starts,
-                   cast(array() as array<struct<lo:int,hi:int>>),
-                   (acc, st) -> if(size(acc) = 0 or st > element_at(acc, -1).hi + 1,
-                     concat(acc, array(struct(st as lo, st + {k} - 1 as hi))),
-                     concat(slice(acc, 1, size(acc) - 1),
-                            array(struct(element_at(acc, -1).lo as lo,
-                                         st + {k} - 1 as hi))))),
-                 iv -> iv.hi - iv.lo + 1 >= {min_span})"""
-        ),
-    ).select("doc_id", "spans")
-    out = base.join(merged, "doc_id", "left").withColumn(
-        "spans", F.coalesce("spans", F.expr("cast(array() as array<struct<lo:int,hi:int>>)"))
-    )
-    kept = F.filter(
-        "toks",
-        lambda w, i: ~F.exists(
-            "spans", lambda iv: (i >= iv["lo"]) & (i <= iv["hi"])
-        ),
-    )
-    return out.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.aggregate(
-            "spans", F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1
-        ).cast("bigint").alias("removed_tokens"),
-        F.round(
-            F.try_divide(
-                F.aggregate("spans", F.lit(0), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1),
-                F.col("n_tokens"),
-            ),
-            4,
-        ).alias("removed_frac"),
-        F.array_join(kept, " ").alias("new_text"),
-    )
+    return _cut_spans(base, dups, k, min_span)
+
+
+def decontaminate_spans(
+    documents: DataFrame,
+    benchmark_docs: DataFrame,
+    k: int = 10,
+    min_span: int | None = None,
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION — the surgical form of
+    ``curation.contamination_check``: instead of dropping a whole doc that
+    shares eval n-grams (which throws away a long clean doc over one quoted
+    question), cut exactly the token spans that overlap the benchmark set.
+    Any training-doc position covered by a k-gram that occurs ANYWHERE in
+    the benchmark corpus is contaminated — no keeper rule, eval text never
+    trains. Same tokenization, same covered-range merge, same ``min_span``
+    forgiveness, same output shape as ``repeated_ngram_spans``:
+    (doc_id, n_tokens, removed_tokens, removed_frac, new_text).
+
+    Scale shape: the benchmark k-gram set is distinct-reduced (bounded by
+    the eval corpus, typically tiny against the training corpus —
+    broadcast-ready); the probe side is one left-semi equi-join of the
+    training occurrence stream against it; everything downstream is the
+    per-doc array math of the family tail. One text pass per side, zero
+    windows, no cartesian."""
+    if min_span is None:
+        min_span = k
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-gram cut removes every shared token)")
+    if min_span < k:
+        raise ValueError(f"min_span {min_span} < k {k}: spans are unions of k-windows")
+    base, occs = _span_base(documents, k)
+    _, bocc = _span_base(benchmark_docs, k)
+    bench_h = bocc.select("h").distinct()
+    hits = occs.join(bench_h, "h", "left_semi").select("doc_id", "s")
+    return _cut_spans(base, hits, k, min_span)

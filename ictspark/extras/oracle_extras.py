@@ -773,6 +773,65 @@ LEFT JOIN arr a USING (doc_id)
 LEFT JOIN rem r USING (doc_id)
 LEFT JOIN ka USING (doc_id)"""
 
+    # decontaminate_spans (r09): k=8 spans covered by ANY benchmark k-gram
+    # (bench = doc_id < 25, train = rest — the contamination_check
+    # convention); same islands merge as repeated_ngram_spans, no keeper
+    q["decontaminate_spans"] = """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(COALESCE(text, ''), '\\s+')) AS token,
+         unnest(generate_series(1, len(string_split_regex(COALESCE(text, ''), '\\s+')))) AS rp
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS pos
+  FROM raw WHERE token <> ''
+),
+arr AS (
+  SELECT doc_id, list(token ORDER BY pos) AS tl, COUNT(*) AS n
+  FROM toks GROUP BY 1
+),
+occs AS (
+  SELECT a.doc_id, u.s,
+         md5(array_to_string(a.tl[CAST(u.s AS INT) + 1 : CAST(u.s AS INT) + 8], ' ')) AS h
+  FROM arr a, unnest(generate_series(0, a.n - 8)) AS u(s)
+  WHERE a.n >= 8
+),
+bench AS (SELECT DISTINCT h FROM occs WHERE doc_id < 25),
+hit AS (
+  SELECT o.doc_id, o.s FROM occs o JOIN bench USING (h) WHERE o.doc_id >= 25
+),
+isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS g
+  FROM (SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev FROM hit)
+),
+spans AS (
+  SELECT doc_id, MIN(s) AS lo, MAX(s) + 8 - 1 AS hi
+  FROM isl GROUP BY doc_id, g
+),
+rem AS (SELECT doc_id, SUM(hi - lo + 1) AS removed FROM spans GROUP BY 1),
+ka AS (
+  SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.pos) AS new_text
+  FROM toks t
+  WHERE t.doc_id >= 25 AND NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.lo AND sp.hi)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens,
+       ROUND(COALESCE(r.removed, 0) * 1.0 / NULLIF(COALESCE(a.n, 0), 0), 4) AS removed_frac,
+       COALESCE(ka.new_text, '') AS new_text
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+LEFT JOIN arr a USING (doc_id)
+LEFT JOIN rem r USING (doc_id)
+LEFT JOIN ka USING (doc_id)"""
+
     # dsir_weights (r09, Xie et al. 2023): hashed unigram+bigram importance
     # log-ratios, target = doc_id%5==0 split, 4096 md5-prefix buckets (the
     # '0x'||substr(md5,.) idiom); ln() not log() — DuckDB log is base 10

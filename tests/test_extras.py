@@ -1646,3 +1646,33 @@ def test_dsir_weights_separate_domains(spark):
     assert out[1]["n_feats"] == 13 and out[2]["n_feats"] == 15
     again = {r["doc_id"]: r["logw"] for r in dsir_weights(raw, target).collect()}
     assert again == {d: r["logw"] for d, r in out.items()}
+
+
+def test_decontaminate_spans_planted(spark):
+    """Span-level benchmark decontamination: exactly the token spans a
+    training doc shares with the eval set are cut (no keeper — eval text
+    never trains), clean context survives, clean docs pass through, and
+    within-benchmark repeats do NOT contaminate docs that lack them."""
+    from ictspark.extras.dedup import decontaminate_spans
+
+    eval_q = "what is the capital of france paris is the answer"
+    bench = spark.createDataFrame([(900, eval_q)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text " + eval_q + " copied verbatim into training"),
+            (2, "a clean training document with none of the eval content"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in decontaminate_spans(docs, bench, k=5).collect()
+    }
+    assert out[1]["removed_tokens"] == 10
+    assert out[1]["new_text"] == "intro text copied verbatim into training"
+    assert out[2]["removed_tokens"] == 0 and out[2]["removed_frac"] == 0.0
+    assert out[3]["n_tokens"] == 0 and out[3]["removed_frac"] is None
+    with pytest.raises(ValueError):
+        decontaminate_spans(docs, bench, k=1)
+    with pytest.raises(ValueError):
+        decontaminate_spans(docs, bench, k=5, min_span=3)
