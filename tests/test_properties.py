@@ -235,3 +235,113 @@ def test_minhash_sizing_formula_properties():
     assert minhash_bands_for(0.0, 1, 0.999) >= 1
     assert minhash_bands_for(1.0, 4, 0.9999) == 1
     assert minhash_rows_for(0.0) == 1
+
+
+def _py_spans(token_lists, k, min_span, bench_token_lists=None):
+    """Pure-Python reference for the token-span family: identical keeper /
+    coverage / interval-merge / min_span semantics, brute-forced."""
+    occ = {}  # shingle -> sorted list of (doc_id, start)
+    for d, toks in token_lists.items():
+        for s in range(max(0, len(toks) - k + 1)):
+            occ.setdefault(tuple(toks[s : s + k]), []).append((d, s))
+    if bench_token_lists is None:
+        dup = {}
+        for sh, places in occ.items():
+            if len(places) < 2:
+                continue
+            keeper = min(places)
+            for p in places:
+                if p != keeper:
+                    dup.setdefault(p[0], []).append(p[1])
+    else:
+        bench = set()
+        for toks in bench_token_lists.values():
+            for s in range(max(0, len(toks) - k + 1)):
+                bench.add(tuple(toks[s : s + k]))
+        dup = {}
+        for sh, places in occ.items():
+            if sh in bench:
+                for d, s in places:
+                    dup.setdefault(d, []).append(s)
+    out = {}
+    for d, toks in token_lists.items():
+        covered = set()
+        for s in sorted(dup.get(d, [])):
+            covered.update(range(s, s + k))
+        # maximal runs of covered positions, forgive short ones
+        spans, run = [], []
+        for i in range(len(toks)):
+            if i in covered:
+                run.append(i)
+            elif run:
+                spans.append(run)
+                run = []
+        if run:
+            spans.append(run)
+        spans = [sp for sp in spans if len(sp) >= min_span]
+        cut = set(i for sp in spans for i in sp)
+        kept = [t for i, t in enumerate(toks) if i not in cut]
+        out[d] = (len(toks), len(cut), " ".join(kept))
+    return out
+
+
+def test_repeated_ngram_spans_property(spark):
+    """Hypothesis: for random small-alphabet corpora (forced repeats),
+    repeated_ngram_spans equals the brute-force Python reference in
+    n_tokens, removed_tokens and the rewritten text."""
+    from hypothesis import given, settings, strategies as st
+
+    from ictspark.extras.dedup import repeated_ngram_spans
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=18)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=5), st.integers(min_value=2, max_value=4))
+    def check(docs_tokens, k):
+        token_lists = {i + 1: t for i, t in enumerate(docs_tokens)}
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in token_lists.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["new_text"])
+            for r in repeated_ngram_spans(df, k=k).collect()
+        }
+        assert got == _py_spans(token_lists, k, k)
+
+    check()
+
+
+def test_decontaminate_spans_property(spark):
+    """Hypothesis: decontaminate_spans equals the brute-force reference
+    (every benchmark-covered position cut, no keeper)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ictspark.extras.dedup import decontaminate_spans
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=14)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=4),
+        st.lists(doc, min_size=1, max_size=2),
+        st.integers(min_value=2, max_value=3),
+    )
+    def check(train_tokens, bench_tokens, k):
+        train = {i + 1: t for i, t in enumerate(train_tokens)}
+        bench = {100 + i: t for i, t in enumerate(bench_tokens)}
+        tdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in train.items()], "doc_id long, text string"
+        )
+        bdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in bench.items()], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["new_text"])
+            for r in decontaminate_spans(tdf, bdf, k=k).collect()
+        }
+        assert got == _py_spans(train, k, k, bench_token_lists=bench)
+
+    check()
