@@ -146,6 +146,18 @@ def main() -> None:
         "repeated_ngram_spans",
         lambda: dedup.repeated_ngram_spans(docs, k=8).count(),
     )
+    timed_x(
+        "decontaminate_spans",
+        lambda: dedup.decontaminate_spans(
+            docs.where(F.col("doc_id") >= 25), docs.where(F.col("doc_id") < 25), k=8
+        ).count(),
+    )
+    timed_x(
+        "dsir_weights",
+        lambda: curation.dsir_weights(
+            docs.where(F.col("doc_id") % 5 != 0), docs.where(F.col("doc_id") % 5 == 0)
+        ).count(),
+    )
     timed_x("curation_manifest", lambda: curation.curate_pipeline(docs).count())
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)

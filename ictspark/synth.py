@@ -398,7 +398,7 @@ DOC_VOCAB = [
 ]
 DOC_LANGS = ["en", "de", "zh", "fr", "es"]
 DOC_LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]  # en-heavy, like testdata sf0.1
-N_DOCS = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000, "sf1": 50000}
+N_DOCS = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000, "sf1": 50000, "sf4": 200000}
 # 12-token boilerplate on ~30% of docs: its word trigrams and char 8-gram
 # fingerprints land in >10^4 docs at sf1 — far past MAX_SHINGLE_DF, so the
 # df-caps must BIND at this tier, not merely exist
