@@ -1,0 +1,280 @@
+"""Incremental DSIR store — `curation.dsir_weights` (Xie et al. 2023)
+under the standing-ingest regime: raw batches arrive forever and every
+doc's importance weight against the FIXED target distribution must stay
+current without re-tokenizing stored text.
+
+Cost split (the journaled-store purity argument, third instance):
+
+  - The TARGET side is the store's immutable identity, committed at init
+    (like the curation store's benchmark set): its hashed-n-gram bucket
+    counts and total are computed once and frozen — the target
+    distribution must not drift under the docs already scored against it
+    (a new target is a re-selection, not an ingest).
+  - PER-DOC FEATURE COUNTS are computed exactly once, at ingest, from the
+    batch's text: (doc_id, bucket, count) over the family's hashed
+    unigram+bigram features — compact integer rows (≤ 2·tokens per doc,
+    no text), written as an immutable ``batch=<id>`` partition together
+    with a per-batch BUCKET-COUNT DELTA (≤ n_buckets narrow rows: the
+    batch's contribution to the raw-corpus distribution, pre-reduced at
+    ingest). The expensive text dimension is pure O(batch); the only
+    stored bytes an ingest touches are the column-pruned doc_id reads of
+    the re-push guard.
+  - The READ path re-derives weights from compact state: fold the bucket
+    deltas (bounded by n_buckets — the table is FIXED-SIZE regardless of
+    corpus), build the smoothed target/raw log-ratio table, broadcast it
+    against the stored per-doc counts, sum per doc. Weights are inherently
+    retroactive — every new batch shifts the raw distribution q, so every
+    stored doc's log w = Σ c_b (ln p_b − ln q_b) moves — which is exactly
+    why the decision re-derives while the text work never repeats.
+
+Equality contract (pytest + the ``dsir_weights_incremental`` driver
+oracle): N-batch ingest == one-shot ``curation.dsir_weights`` over the
+union raw corpus against the same target, bit for bit (same rounding), any
+split and arrival order — both distributions are pure multiset sums.
+
+Journal protocol: ``checkpoint.Lineage``; init commits the target's
+content signature + bucket sizing; each ingest writes its two partitions
+then ONE commit line (overwrite-idempotent on retry); committed batch ids
+skip idempotently; content drift, duplicate/re-pushed doc_ids, and sizing
+mismatches raise.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ictspark.checkpoint import Lineage
+from ictspark.extras import incremental
+from ictspark.extras.curation import DSIR_BUCKETS
+
+DSIR_STORE_FORMAT = "d1"
+INIT_PARTITION = "__init__"
+
+_FEAT_SCHEMA = "doc_id long, b long, c long"
+_DELTA_SCHEMA = "b long, c long"
+
+
+def _lineage(store_dir: str) -> Lineage:
+    return Lineage(os.path.join(store_dir, "_ck"))
+
+
+def _part(store_dir: str, what: str, batch_id: str) -> str:
+    return os.path.join(store_dir, what, f"batch={batch_id}")
+
+
+def _read_parts(
+    spark: SparkSession, store_dir: str, what: str, batch_ids: list[str], schema: str
+) -> DataFrame:
+    return spark.read.schema(schema).parquet(
+        *[_part(store_dir, what, b) for b in batch_ids]
+    )
+
+
+def _doc_feats(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, bucket, count) — the ``dsir_weights`` feature definition
+    (hashed unigrams + bigrams, the md5-prefix bucket idiom), pre-counted
+    per doc so stored rows are compact integers, never text."""
+    from ictspark.extras.textstats import _bigram_stream
+
+    bucket = lambda c: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+    toks, bg = _bigram_stream(docs)
+    feats = toks.select("doc_id", bucket(F.col("token")).alias("b")).unionByName(
+        bg.select("doc_id", bucket(F.concat_ws(" ", "token", "t2")).alias("b"))
+    )
+    return feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def init_store(
+    target_docs: DataFrame, store_dir: str, n_buckets: int = DSIR_BUCKETS
+) -> dict:
+    """Freeze the target distribution: its per-bucket counts (≤ n_buckets
+    rows) and the sizing are the store's immutable identity. Idempotent
+    under identical inputs; drift raises."""
+    n, nd, sig_str = incremental._input_sig(target_docs)
+    if nd != n:
+        raise ValueError(
+            f"target set contains duplicate doc_ids ({n} rows, {nd} distinct)"
+        )
+    lin = _lineage(store_dir)
+    prior = None
+    for e in incremental._committed(lin.entries()):
+        if e["partition"] == INIT_PARTITION:
+            prior = e
+            break
+    params = {
+        "target_sig": sig_str,
+        "n_buckets": n_buckets,
+        "format": DSIR_STORE_FORMAT,
+    }
+    if prior is not None:
+        got = {k: prior.get(k) for k in params}
+        if got != params:
+            raise ValueError(
+                f"dsir store {store_dir!r} was initialized with {got}; this init "
+                f"asks for {params} — a store's target set and sizing are "
+                "immutable, build a new store"
+            )
+        return {"skipped": True, "n_target": n}
+    tf = _doc_feats(target_docs, n_buckets)
+    tf.groupBy("b").agg(F.sum("c").alias("c")).write.mode("overwrite").parquet(
+        os.path.join(store_dir, "target")
+    )
+    lin.commit(INIT_PARTITION, rows=n, input_sig=sig_str, **params)
+    return {"skipped": False, "n_target": n}
+
+
+def ingest_batch(batch_docs: DataFrame, store_dir: str, batch_id: str) -> dict:
+    """One text pass over the batch → per-doc feature counts + the batch's
+    bucket-count delta, two immutable partition writes, one commit.
+    O(batch) text work; the only stored read is the doc_id-pruned
+    re-push guard."""
+    spark = batch_docs.sparkSession
+    lin = _lineage(store_dir)
+    entries = incremental._committed(lin.entries())
+    init = next((e for e in entries if e["partition"] == INIT_PARTITION), None)
+    if init is None:
+        raise ValueError(
+            f"dsir store {store_dir!r} is not initialized — call init_store with "
+            "the target set first (it defines the distribution every future "
+            "batch is scored against)"
+        )
+    n_buckets = int(init["n_buckets"])
+    committed = [e for e in entries if e["partition"] != INIT_PARTITION]
+    n_docs, n_distinct, sig_str = incremental._input_sig(batch_docs)
+    for e in committed:
+        if e["partition"] == batch_id:
+            if e.get("input_sig") != sig_str:
+                raise ValueError(
+                    f"batch {batch_id!r} already committed with different content "
+                    f"(stored {e.get('input_sig')}, got {sig_str}): batch ids are "
+                    "immutable — use a new id for new data"
+                )
+            return {"batch": batch_id, "skipped": True, "n_docs": n_docs}
+    if n_distinct != n_docs:
+        raise ValueError(
+            f"batch {batch_id!r} contains duplicate doc_ids "
+            f"({n_docs} rows, {n_distinct} distinct): doc_ids must be unique"
+        )
+    prior = [e["partition"] for e in committed]
+    if prior:
+        stored = _read_parts(spark, store_dir, "feats", prior, _FEAT_SCHEMA)
+        n_overlap = (
+            batch_docs.select("doc_id")
+            .join(stored.select("doc_id").distinct(), "doc_id", "left_semi")
+            .count()
+        )
+        if n_overlap:
+            raise ValueError(
+                f"batch {batch_id!r} re-pushes {n_overlap} doc_ids already in the "
+                "store: doc_ids must be globally unique across batches"
+            )
+    t0 = time.time()
+    feats = _doc_feats(batch_docs, n_buckets).localCheckpoint(eager=True)
+    feats.write.mode("overwrite").parquet(_part(store_dir, "feats", batch_id))
+    (
+        feats.groupBy("b")
+        .agg(F.sum("c").alias("c"))
+        .write.mode("overwrite")
+        .parquet(_part(store_dir, "delta", batch_id))
+    )
+    n_feat_rows = feats.count()
+    feats.unpersist()
+    lin.commit(
+        batch_id,
+        rows=n_docs,
+        input_sig=sig_str,
+        format=DSIR_STORE_FORMAT,
+        n_buckets=n_buckets,
+        target_sig=init["target_sig"],
+        n_feat_rows=n_feat_rows,
+        duration_s=round(time.time() - t0, 3),
+    )
+    return {
+        "batch": batch_id,
+        "skipped": False,
+        "n_docs": n_docs,
+        "n_feat_rows": n_feat_rows,
+    }
+
+
+def weights_read(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The standing weights — one row per ingested raw doc, the exact
+    ``dsir_weights`` output shape (doc_id, n_feats, logw). The raw
+    distribution folds from the per-batch deltas (≤ n_buckets rows per
+    batch — FIXED-SIZE regardless of corpus), the smoothed log-ratio table
+    broadcasts, and the stored integer counts score without any text."""
+    lin = _lineage(store_dir)
+    entries = incremental._committed(lin.entries())
+    init = next((e for e in entries if e["partition"] == INIT_PARTITION), None)
+    if init is None:
+        raise ValueError(f"dsir store {store_dir!r} is not initialized")
+    batches = [e["partition"] for e in entries if e["partition"] != INIT_PARTITION]
+    if not batches:
+        raise ValueError(f"dsir store {store_dir!r} has no committed batches")
+    n_buckets = int(init["n_buckets"])
+    tcnt = spark.read.schema(_DELTA_SCHEMA).parquet(
+        os.path.join(store_dir, "target")
+    ).withColumnRenamed("c", "ct")
+    rcnt = (
+        _read_parts(spark, store_dir, "delta", batches, _DELTA_SCHEMA)
+        .groupBy("b")
+        .agg(F.sum("c").alias("cr"))
+    )
+    ttot = tcnt.agg(F.sum("ct").cast("double").alias("tt"))
+    rtot = rcnt.agg(F.sum("cr").cast("double").alias("rt"))
+    ratio = (
+        tcnt.join(rcnt, "b", "full_outer")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1.0) / (F.col("tt") + n_buckets))
+                - F.log((F.coalesce("cr", F.lit(0)) + 1.0) / (F.col("rt") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    feats = _read_parts(spark, store_dir, "feats", batches, _FEAT_SCHEMA)
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+        )
+    )
+
+
+def incremental_dsir_demo(
+    spark: SparkSession,
+    documents: DataFrame,
+    n_batches: int = 3,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """The graded driver entry (``dsir_weights_incremental``): target =
+    the doc_id%5==0 split (the dsir_weights registry convention), the raw
+    rest arriving in ``n_batches`` interleaved batches; returns the
+    standing weights. Oracle = the one-shot ``dsir_weights`` SQL over the
+    union. Content-keyed /tmp store dir (the established demo scheme)."""
+    import hashlib
+    import tempfile
+
+    target = documents.where(F.col("doc_id") % 5 == 0)
+    raw = documents.where(F.col("doc_id") % 5 != 0)
+    store = store_dir
+    if store is None:
+        _, _, sig_str = incremental._input_sig(documents)
+        key = hashlib.md5(
+            f"{sig_str}|{n_batches}|fmt{DSIR_STORE_FORMAT}|pid{os.getpid()}".encode()
+        ).hexdigest()[:12]
+        store = os.path.join(tempfile.gettempdir(), f"ictspark_dsir_demo_{key}")
+    init_store(target, store)
+    for i in range(n_batches):
+        ingest_batch(raw.where(F.col("doc_id") % n_batches == i), store, f"b{i:03d}")
+    return weights_read(spark, store)

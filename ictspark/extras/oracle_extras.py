@@ -864,6 +864,11 @@ SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, ROUND(SUM(lr), 6) AS logw
 FROM rfe r JOIN ratio USING (b)
 GROUP BY 1"""
 
+    # dsir_weights_incremental (r09): the journaled store's N-batch ingest
+    # must converge on the ONE-SHOT definition over the union raw corpus —
+    # identical oracle, identical split convention (extras/incr_dsir.py)
+    q["dsir_weights_incremental"] = q["dsir_weights"]
+
     q["repetition_score"] = f"""
 WITH {_TOKS},
 tri AS (
