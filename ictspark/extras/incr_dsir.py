@@ -251,6 +251,38 @@ def weights_read(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def ingest_stream(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """The DSIR store's raw-side ingest AS A STREAM — ``foreachBatch`` with
+    ``batch_id = f"s{epoch_id:09d}"``, the ``incremental.ingest_stream``
+    pattern shared by all four journaled stores: Spark replays a failed
+    epoch under the same epoch id, the journal's idempotent skip absorbs
+    the retry, and a torn ingest redoes its overwrite-idempotent partition
+    writes before the single commit line. The store must already be
+    initialized with its target set (``init_store``) — the target is the
+    store's identity, not stream payload; ``ingest_batch`` raises loudly
+    on the first epoch otherwise. Empty micro-batches return without
+    touching the journal."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(batch_df, store_dir, f"s{epoch_id:09d}")
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_dsir_demo(
     spark: SparkSession,
     documents: DataFrame,

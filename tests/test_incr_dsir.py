@@ -144,6 +144,46 @@ def test_store_guards(spark, raw, target, tmp_path_factory):
         ID.ingest_batch(b0.limit(1), store, "b2")
 
 
+def test_stream_ingest_equals_oneshot(spark, raw, target, tmp_path_factory):
+    """Multi-epoch file-source drain == one-shot over the union raw corpus;
+    a RESUMED stream over an extended source ingests exactly the new file
+    and the standing weights retroactively converge on the extended union
+    (init_store runs BEFORE the stream — the target is store identity, not
+    stream payload)."""
+    import os
+
+    from ictspark.extras import incremental
+
+    root = str(tmp_path_factory.mktemp("dsirstream"))
+    src, store, ck = [os.path.join(root, d) for d in ("src", "store", "ck")]
+    os.makedirs(src)
+    half0 = raw.where(F.col("doc_id") % 2 == 0)
+    half1 = raw.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 != 0))
+    half0.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    half1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    ID.init_store(target, store)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    ID.ingest_stream(stream, store, ck).awaitTermination()
+    union = half0.unionByName(half1)
+    assert _rows(ID.weights_read(spark, store)) == _rows(dsir_weights(union, target))
+    n_committed = len(incremental._committed(ID._lineage(store).entries()))
+    late = raw.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 == 0))
+    late.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    stream2 = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    ID.ingest_stream(stream2, store, ck).awaitTermination()
+    n_after = len(incremental._committed(ID._lineage(store).entries()))
+    assert n_after == n_committed + 1
+    assert _rows(ID.weights_read(spark, store)) == _rows(dsir_weights(raw, target))
+
+
 def test_demo_matches_registry_oracle_shape(spark, docs):
     """The graded demo entry: same split convention as the one-shot
     ``dsir_weights`` registry entry, so the standing weights must equal it
