@@ -345,3 +345,121 @@ def test_decontaminate_spans_property(spark):
         assert got == _py_spans(train, k, k, bench_token_lists=bench)
 
     check()
+
+
+def _py_dsir(raw_tokens, target_tokens, n_buckets):
+    """Pure-Python DSIR reference: md5-prefix hashed unigram+bigram bags,
+    add-one-smoothed target/raw log-ratios, occurrence-summed per raw doc
+    — a third derivation independent of both the Spark plan and the
+    DuckDB oracle SQL."""
+    import hashlib
+    import math
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def feats(toks):
+        out = [bucket(t) for t in toks]
+        out += [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        return out
+
+    tf = [b for toks in target_tokens.values() for b in feats(toks)]
+    rf = {d: feats(toks) for d, toks in raw_tokens.items()}
+    ct, cr = {}, {}
+    for b in tf:
+        ct[b] = ct.get(b, 0) + 1
+    for bs in rf.values():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+    tt, rt = float(len(tf)), float(sum(len(bs) for bs in rf.values()))
+    lr = {
+        b: math.log((ct.get(b, 0) + 1.0) / (tt + n_buckets))
+        - math.log((cr.get(b, 0) + 1.0) / (rt + n_buckets))
+        for b in set(ct) | set(cr)
+    }
+    return {
+        d: (len(bs), sum(lr[b] for b in bs)) for d, bs in rf.items() if bs
+    }
+
+
+def test_dsir_weights_property(spark):
+    """Hypothesis: for random small-alphabet corpora, dsir_weights equals
+    the brute-force Python reference in n_feats exactly and logw to the
+    rounding tolerance — and the incremental store's 2-batch ingest equals
+    the one-shot bit-for-bit on the same draw."""
+    from hypothesis import given, settings, strategies as st
+
+    from ictspark.extras.curation import dsir_weights
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=10)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4), st.lists(doc, min_size=1, max_size=2))
+    def check(raw_docs, target_docs):
+        raw = {i + 1: t for i, t in enumerate(raw_docs)}
+        tgt = {100 + i: t for i, t in enumerate(target_docs)}
+        rdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in raw.items()], "doc_id long, text string"
+        )
+        tdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in tgt.items()], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_feats"], r["logw"])
+            for r in dsir_weights(rdf, tdf, n_buckets=64).collect()
+        }
+        want = _py_dsir(raw, tgt, 64)
+        assert set(got) == set(want)
+        for d, (nf, lw) in want.items():
+            assert got[d][0] == nf
+            assert abs(got[d][1] - lw) < 2e-6  # both sides round at 6
+
+    check()
+
+
+def test_incr_dsir_matches_oneshot_property(spark, tmp_path_factory):
+    """Hypothesis: the incremental DSIR store's split ingest equals the
+    one-shot over the union BIT-FOR-BIT on random corpora and splits (the
+    store contract, exercised beyond the fixed registry split)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ictspark.extras import incr_dsir
+    from ictspark.extras.curation import dsir_weights
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=1, max_size=8)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(doc, min_size=2, max_size=5),
+        st.lists(doc, min_size=1, max_size=2),
+        st.randoms(use_true_random=False),
+    )
+    def check(raw_docs, target_docs, rng):
+        raw = {i + 1: t for i, t in enumerate(raw_docs)}
+        tgt = {100 + i: t for i, t in enumerate(target_docs)}
+        rdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in raw.items()], "doc_id long, text string"
+        )
+        tdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in tgt.items()], "doc_id long, text string"
+        )
+        split = {d: rng.randint(0, 1) for d in raw}
+        store = str(tmp_path_factory.mktemp("dsirprop"))
+        incr_dsir.init_store(tdf, store, n_buckets=64)
+        for i in (0, 1):
+            ids = [d for d, s in split.items() if s == i]
+            if ids:
+                incr_dsir.ingest_batch(
+                    rdf.where(F.col("doc_id").isin(ids)), store, f"b{i}"
+                )
+        got = sorted(
+            tuple(r) for r in incr_dsir.weights_read(spark, store).collect()
+        )
+        want = sorted(
+            tuple(r) for r in dsir_weights(rdf, tdf, n_buckets=64).collect()
+        )
+        assert got == want
+
+    check()
