@@ -880,3 +880,65 @@ def dsir_weights(
         F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         F.round(F.sum("lr"), 6).alias("logw"),
     )
+
+
+DSIR_SELECT_BUDGET = 2_000
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    budget_tokens: int = DSIR_SELECT_BUDGET,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The selection half of DSIR (Xie et al. 2023): rank raw docs by
+    length-normalized importance (logw / n_feats — the per-occurrence mean,
+    so long docs can't buy rank with sheer feature mass) and keep the
+    deterministic prefix until the kept token mass reaches the budget. This
+    is the deterministic top-w variant of the paper's Gumbel resampling —
+    stated as such: sampling noise is deliberately traded for an
+    oracle-checkable keep line, the same begin-boundary semantics as
+    ``mixture_plan`` (a doc is kept iff the tokens BEFORE it in rank order
+    are under budget, so the kept set overshoots by at most one doc and
+    needs no look-ahead). Only scored docs participate: a token-less doc
+    has no features, hence no weight, hence no rank.
+
+    Scale shape: the global score-ordered prefix sum is TWO-PHASE, never a
+    whole-corpus window — coarse score buckets (``floor(score·1000)``, a
+    few thousand distinct values bounded by the score RANGE, not the
+    corpus) carry the cross-bucket token offsets in one broadcast ≤-few-k
+    row table (bucket descending order IS score descending order, so the
+    global prefix is exact); the within-bucket residual window partitions
+    by bucket. Skew bound: docs per 0.001-score slice — pathological only
+    if the corpus' scores are near-constant, in which case selection
+    itself is meaningless."""
+    score = F.round(F.col("logw") / F.col("n_feats"), 6)
+    w = dsir_weights(raw_docs, target_docs, n_buckets=n_buckets).select(
+        "doc_id", "n_feats", "logw", score.alias("score")
+    )
+    d = raw_docs.select(
+        "doc_id", _token_count("ws").alias("n_tokens")
+    ).join(w, "doc_id")
+    d = d.withColumn("sb", F.floor(F.col("score") * 1000).cast("long"))
+    btok = d.groupBy("sb").agg(F.sum("n_tokens").alias("bt"))
+    w_off = Window.orderBy(F.desc("sb")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btok.withColumn("toff", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
+    w_b = (
+        Window.partitionBy("sb")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        d.withColumn("local_before", F.coalesce(F.sum("n_tokens").over(w_b), F.lit(0)))
+        .join(F.broadcast(offsets.select("sb", "toff")), "sb")
+        .withColumn("tokens_before", F.col("toff") + F.col("local_before"))
+    )
+    return cum.select(
+        "doc_id",
+        "n_feats",
+        "logw",
+        "score",
+        "n_tokens",
+        "tokens_before",
+        (F.col("tokens_before") < budget_tokens).alias("keep"),
+    )

@@ -869,6 +869,59 @@ GROUP BY 1"""
     # identical oracle, identical split convention (extras/incr_dsir.py)
     q["dsir_weights_incremental"] = q["dsir_weights"]
 
+    # dsir_select (r09): the selection half — rank by length-normalized
+    # importance (logw/n_feats), keep the token-budgeted prefix with
+    # mixture_plan's begin-boundary semantics. The oracle's single global
+    # window IS the semantics; the engine's two-phase score-bucket prefix
+    # must hash-match it exactly
+    q["dsir_select"] = f"""
+WITH {_TOKS},
+feats AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS b
+  FROM toks
+  UNION ALL
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token || ' ' || t2), 1, 8) AS BIGINT) % 4096 AS b
+  FROM (SELECT doc_id, token,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM toks)
+  WHERE t2 IS NOT NULL
+),
+tfe AS (SELECT * FROM feats WHERE doc_id % 5 = 0),
+rfe AS (SELECT * FROM feats WHERE doc_id % 5 <> 0),
+tc AS (SELECT b, COUNT(*) AS ct FROM tfe GROUP BY 1),
+rc AS (SELECT b, COUNT(*) AS cr FROM rfe GROUP BY 1),
+tt AS (SELECT COUNT(*) * 1.0 AS tt FROM tfe),
+rt AS (SELECT COUNT(*) * 1.0 AS rt FROM rfe),
+ratio AS (
+  SELECT COALESCE(tc.b, rc.b) AS b,
+         ln((COALESCE(ct, 0) + 1.0) / (tt + 4096))
+         - ln((COALESCE(cr, 0) + 1.0) / (rt + 4096)) AS lr
+  FROM tc FULL OUTER JOIN rc ON tc.b = rc.b, tt, rt
+),
+wts AS (
+  SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, ROUND(SUM(lr), 6) AS logw
+  FROM rfe r JOIN ratio USING (b)
+  GROUP BY 1
+),
+ntok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks
+  WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+scored AS (
+  SELECT w.doc_id, w.n_feats, w.logw, ROUND(w.logw / w.n_feats, 6) AS score,
+         n.n_tokens
+  FROM wts w JOIN ntok n USING (doc_id)
+)
+SELECT doc_id, n_feats, logw, score, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tokens_before,
+       COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 2000
+         AS keep
+FROM scored"""
+
     q["repetition_score"] = f"""
 WITH {_TOKS},
 tri AS (

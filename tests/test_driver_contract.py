@@ -43,9 +43,9 @@ SCALE_CRITICAL = {
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
 # r09 fills the window by accumulated-green count ascending over
-# CORRECTNESS_r01..r08: the nine r09 additions lead (0-green by
+# CORRECTNESS_r01..r08: the ten r09 additions lead (0-green by
 # construction — repeated_ngram_spans, paragraph_dedup_incremental,
-# the two dsir entries, decontaminate_spans, paragraph_dedup and the
+# the three dsir entries, decontaminate_spans, paragraph_dedup and the
 # gopher/subword manifest entries), then the four once-green r08
 # additions, the 4 twice-green, the 8 thrice-green (the
 # manifest/mixture/pack family re-attests after the
@@ -54,7 +54,7 @@ SCALE_CRITICAL = {
 # four-green in registry order.
 R09_WINDOW = [
     "repeated_ngram_spans", "paragraph_dedup_incremental", "dsir_weights",
-    "dsir_weights_incremental", "decontaminate_spans",
+    "dsir_weights_incremental", "dsir_select", "decontaminate_spans",
     "paragraph_dedup", "curation_manifest_gopher", "curation_manifest_subword",
     "curation_manifest_incremental_gopher", "gopher_rules",
     "curation_manifest_incremental", "semantic_dedup_incremental",
@@ -69,7 +69,6 @@ R09_WINDOW = [
     "product_daily_failures", "product_failed_boards", "ann_bruteforce",
     "ann_bucketed", "embedding_dup_pairs", "media_stats", "frame_sample_plan",
     "mb_result_boxes", "events_hourly", "events_shift_buckets",
-    "export_matrix_failed",
 ]
 
 

@@ -1648,6 +1648,50 @@ def test_dsir_weights_separate_domains(spark):
     assert again == {d: r["logw"] for d, r in out.items()}
 
 
+def test_dsir_select_budget_line(spark):
+    """The selection half: rank is LENGTH-NORMALIZED (a long mediocre doc
+    cannot outrank a short on-target one by sheer feature mass), the keep
+    line uses mixture_plan's begin-boundary semantics (kept iff tokens
+    BEFORE it are under budget — overshoot at most one doc), and the
+    two-phase score-bucket prefix equals the single global window it
+    re-expresses."""
+    from ictspark.extras.curation import dsir_select
+
+    target = spark.createDataFrame(
+        [(100, "physics energy quantum field theory lattice gauge boson")],
+        "doc_id long, text string",
+    )
+    on_topic = "physics energy quantum field theory"
+    off_topic = "recipe garlic onion butter simmer salt pepper"
+    raw = spark.createDataFrame(
+        [
+            (1, on_topic),  # short, fully on-target -> best normalized score
+            (2, (on_topic + " ") * 2 + off_topic * 6),  # long, diluted
+            (3, off_topic),
+            (4, on_topic + " lattice gauge"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_select(raw, target, budget_tokens=9).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # normalized rank: the two short on-target docs beat the diluted long one
+    assert out[1]["score"] > out[2]["score"]
+    assert out[4]["score"] > out[2]["score"]
+    assert min(out[1]["score"], out[4]["score"]) > out[3]["score"]
+    # begin-boundary budget: docs 1 (5 tok) and 4 (7 tok) fill rank order;
+    # whichever ranks second starts at tokens_before=5 < 9 -> kept
+    # (overshooting to 12), the third-ranked doc starts >= 12 -> dropped
+    kept = sorted(d for d, r in out.items() if r["keep"])
+    assert kept == [1, 4]
+    ranked = sorted(out.values(), key=lambda r: (-r["score"], r["doc_id"]))
+    # the global prefix-sum reconstruction matches the two-phase output
+    run = 0
+    for r in ranked:
+        assert r["tokens_before"] == run
+        assert r["keep"] == (run < 9)
+        run += r["n_tokens"]
+
+
 def test_decontaminate_spans_planted(spark):
     """Span-level benchmark decontamination: exactly the token spans a
     training doc shares with the eval set are cut (no keeper — eval text
