@@ -814,6 +814,46 @@ def training_order(documents: DataFrame, seed: str = "epoch0") -> DataFrame:
 DSIR_BUCKETS = 4096
 
 
+def dsir_feature_stream(documents: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """The DSIR family's hashed feature stream — one (doc_id, b) row per
+    unigram/bigram OCCURRENCE (md5-prefix buckets, the stratified_sample/
+    simhash idiom). ONE text scan, ONE Exchange: tokens posexplode once,
+    the bigram partner comes from the per-doc ``lead()`` window, and each
+    token row emits its unigram bucket plus (when a successor exists) the
+    bigram bucket via a 1-2 element array explode — all inside codegen.
+
+    Plan-audit note (r09, measured — same-session alternating A/B at sf1/32,
+    hashes identical): this one-pass shape is ~2.2x faster than the naive
+    two-branch union (which re-scans and re-splits the text for the bigram
+    branch), while the "obvious" shuffle-free rewrite — building bigram
+    arrays map-side with ``zip_with``/``slice`` higher-order lambdas — is
+    ~1.7x SLOWER than even the two-scan version: fat per-row array
+    materialization plus interpreted lambda evaluation costs more than one
+    Exchange+Sort of narrow token rows. Explode early, keep rows narrow.
+    NULL/token-less text yields no rows, the family convention."""
+    bucket = lambda c: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token")
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    s = toks.withColumn("t2", F.lead("token", 1).over(w))
+    return s.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.array(
+                    bucket(F.col("token")),
+                    bucket(F.concat_ws(" ", "token", "t2")),
+                ),
+            ).otherwise(F.array(bucket(F.col("token"))))
+        ).alias("b"),
+    )
+
+
 def dsir_weights(
     raw_docs: DataFrame, target_docs: DataFrame, n_buckets: int = DSIR_BUCKETS
 ) -> DataFrame:
@@ -842,24 +882,8 @@ def dsir_weights(
     raw side's feature stream equi-joins it (broadcast — the build side is
     bounded by n_buckets, never by vocabulary) and folds per doc. The only
     window is the per-doc bigram lead. All JVM-side."""
-    bucket = lambda c: F.pmod(  # noqa: E731 — md5-prefix bucket, the
-        # stratified_sample/simhash idiom: first 8 hex chars as an int
-        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
-
-    def feats(docs: DataFrame) -> DataFrame:
-        from ictspark.extras.textstats import _bigram_stream
-
-        toks, bg = _bigram_stream(docs)
-        uni = toks.select("doc_id", bucket(F.col("token")).alias("b"))
-        bi = bg.select(
-            "doc_id", bucket(F.concat_ws(" ", "token", "t2")).alias("b")
-        )
-        return uni.unionByName(bi)
-
-    tf = feats(target_docs)
-    rf = feats(raw_docs)
+    tf = dsir_feature_stream(target_docs, n_buckets)
+    rf = dsir_feature_stream(raw_docs, n_buckets)
     tcnt = tf.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     rcnt = rf.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     ttot = tf.agg(F.count(F.lit(1)).cast("double").alias("tt"))

@@ -76,18 +76,16 @@ def _read_parts(
 
 def _doc_feats(docs: DataFrame, n_buckets: int) -> DataFrame:
     """(doc_id, bucket, count) — the ``dsir_weights`` feature definition
-    (hashed unigrams + bigrams, the md5-prefix bucket idiom), pre-counted
-    per doc so stored rows are compact integers, never text."""
-    from ictspark.extras.textstats import _bigram_stream
+    (``curation.dsir_feature_stream``: hashed unigrams + bigrams built
+    map-side, no window), pre-counted per doc so stored rows are compact
+    integers, never text."""
+    from ictspark.extras.curation import dsir_feature_stream
 
-    bucket = lambda c: F.pmod(  # noqa: E731
-        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    return (
+        dsir_feature_stream(docs, n_buckets)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    toks, bg = _bigram_stream(docs)
-    feats = toks.select("doc_id", bucket(F.col("token")).alias("b")).unionByName(
-        bg.select("doc_id", bucket(F.concat_ws(" ", "token", "t2")).alias("b"))
-    )
-    return feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
 
 
 def init_store(
