@@ -606,24 +606,41 @@ def paragraph_dedup(documents: DataFrame) -> DataFrame:
 def _span_base(documents: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     """Shared head of the token-span family: (per-doc token arrays, k-gram
     occurrence stream (doc_id, s, h)) under the family's whitespace
-    tokenization. The shingle strings are built inside a per-row array
-    transform — a pure map stage, no lead-window Exchange."""
+    tokenization — positions 0-based after dropping empty splits.
+
+    The occurrence stream explodes NARROW token rows and builds each
+    k-gram with one ``lead()`` chain inside a single per-doc window (the
+    same Sort also yields the post-filter position via ``row_number``).
+    Plan-audit note (r09, measured — same-session alternating A/B at
+    sf1/32, digests identical, /tmp-archived in BENCH/BASELINE.md): this
+    replaced a per-row ``transform(sequence, i -> array_join(slice(...)))``
+    shingle build that looked like the better plan (pure map, no
+    Exchange) but ran ~2.1x SLOWER end-to-end (12.5-13 s vs 6-6.5 s warm
+    for repeated_ngram_spans) — higher-order lambdas evaluate outside
+    whole-stage codegen and the n_tokens slice copies cost more than one
+    Exchange+Sort of narrow (doc_id, pos, token) rows. Same lesson, same
+    round, as curation.dsir_feature_stream."""
     toks = F.filter(
         F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
     )
     base = documents.select(
         "doc_id", toks.alias("toks")
     ).withColumn("n_tokens", F.size("toks"))
-    shingles = F.when(
-        F.col("n_tokens") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.col("n_tokens") - k),
-            lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
-    occs = base.select(
-        "doc_id", F.posexplode(shingles).alias("s", "sh")
-    ).select("doc_id", "s", F.md5("sh").alias("h"))
+    tr = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), r"\s+")).alias("p", "w"),
+    ).where(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("p")
+    cols = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    s = tr.select(
+        "doc_id",
+        (F.row_number().over(win) - 1).alias("s"),
+        F.concat_ws(" ", *cols).alias("g"),
+        F.lead("w", k - 1).over(win).alias("last"),
+    )
+    occs = s.where(F.col("last").isNotNull()).select(
+        "doc_id", "s", F.md5("g").alias("h")
+    )
     return base, occs
 
 
@@ -702,10 +719,11 @@ def repeated_ngram_spans(
     tokens with single spaces (canonical whitespace, like the rewrite
     emitters upstream).
 
-    Scale shape: shingling is a PURE MAP stage (the k-gram strings are
-    built inside a per-row array transform — transiently ~k x |doc| bytes
-    per row, traded against the Exchange+sort a lead()-window shingle
-    would cost); the keeper agg is one min-STRUCT + count groupBy on the
+    Scale shape: shingling explodes narrow token rows and builds each
+    k-gram in one per-doc lead() window — ONE Exchange+Sort of (doc_id,
+    pos, token) rows, measured 2.1x faster than the per-row array
+    transform it replaced (_span_base docstring); the keeper agg is one
+    min-STRUCT + count groupBy on the
     k-gram md5 with map-side partial combine, so a k-gram repeated 10^7
     times collapses inside each scan partition before the shuffle; the
     join back is one equi-join against one row per distinct k-gram; span
