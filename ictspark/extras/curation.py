@@ -827,9 +827,10 @@ def dsir_feature_stream(documents: DataFrame, n_buckets: int = DSIR_BUCKETS) -> 
     two-branch union (which re-scans and re-splits the text for the bigram
     branch), while the "obvious" shuffle-free rewrite — building bigram
     arrays map-side with ``zip_with``/``slice`` higher-order lambdas — is
-    ~1.7x SLOWER than even the two-scan version: fat per-row array
-    materialization plus interpreted lambda evaluation costs more than one
-    Exchange+Sort of narrow token rows. Explode early, keep rows narrow.
+    ~1.7x SLOWER than even the two-scan version: fat per-row STRING-array
+    materialization costs more than one Exchange+Sort of narrow token
+    rows (numeric higher-order folds measured fine — PLANS.md "DSIR
+    family" scopes the lesson). Explode early, keep rows narrow.
     NULL/token-less text yields no rows, the family convention."""
     bucket = lambda c: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),

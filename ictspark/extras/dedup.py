@@ -612,14 +612,15 @@ def _span_base(documents: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     k-gram with one ``lead()`` chain inside a single per-doc window (the
     same Sort also yields the post-filter position via ``row_number``).
     Plan-audit note (r09, measured — same-session alternating A/B at
-    sf1/32, digests identical, /tmp-archived in BENCH/BASELINE.md): this
-    replaced a per-row ``transform(sequence, i -> array_join(slice(...)))``
-    shingle build that looked like the better plan (pure map, no
-    Exchange) but ran ~2.1x SLOWER end-to-end (12.5-13 s vs 6-6.5 s warm
-    for repeated_ngram_spans) — higher-order lambdas evaluate outside
-    whole-stage codegen and the n_tokens slice copies cost more than one
+    sf1/32, digests identical, recorded in PLANS.md): this replaced a
+    per-row ``transform(sequence, i -> array_join(slice(...)))`` shingle
+    build that looked like the better plan (pure map, no Exchange) but
+    ran ~2.1x SLOWER end-to-end (12.5-13 s vs 6-6.5 s warm for
+    repeated_ngram_spans) — materializing n_tokens sliced STRING copies
+    per row (~k x |doc| transient bytes) costs more than one
     Exchange+Sort of narrow (doc_id, pos, token) rows. Same lesson, same
-    round, as curation.dsir_feature_stream."""
+    round, as curation.dsir_feature_stream; numeric higher-order folds
+    (the similarity family's dot products) measured fine and stay."""
     toks = F.filter(
         F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
     )
