@@ -158,6 +158,18 @@ def main() -> None:
             docs.where(F.col("doc_id") % 5 != 0), docs.where(F.col("doc_id") % 5 == 0)
         ).count(),
     )
+    timed_x(
+        "dsir_select",
+        lambda: curation.dsir_select(
+            docs.where(F.col("doc_id") % 5 != 0), docs.where(F.col("doc_id") % 5 == 0)
+        ).count(),
+    )
+    timed_x(
+        "decontaminate_fuzzy",
+        lambda: dedup.decontaminate_fuzzy(
+            docs.where(F.col("doc_id") >= 25), docs.where(F.col("doc_id") < 25)
+        ).count(),
+    )
     timed_x("curation_manifest", lambda: curation.curate_pipeline(docs).count())
 
     pipeline = round(sum(v for k, v in q.items() if k != "parse_arrow_variant"), 3)
