@@ -834,7 +834,16 @@ def decontaminate_fuzzy(
     side broadcast-sized in practice (eval suites are tiny next to a
     crawl); matching-band counting is one map-side-combinable groupBy
     per (train, bench) candidate; the per-train rollup is a second small
-    groupBy; the final LEFT join restores clean docs."""
+    groupBy; the final LEFT join restores clean docs.
+
+    NOT a ``curate_pipeline`` stage, deliberately: the pipeline's stage 5
+    drops any doc sharing >= 1 benchmark trigram shingle, which strictly
+    subsumes this operator (an est of 0.2 needs ~9/42 matching minhash
+    positions — overwhelming true shingle overlap), so a fuzzy stage
+    after it could never fire. This operator is the POLICY ALTERNATIVE
+    for pipelines whose exact stage is span-surgical
+    (``decontaminate_spans``) or match-count-thresholded
+    (``contamination_check``) rather than any-overlap-drops-the-doc."""
     from ictspark.extras.similarity import AUTO_TARGET_RECALL
 
     r = minhash_rows_for(threshold, AUTO_MAX_K, AUTO_TARGET_RECALL)
