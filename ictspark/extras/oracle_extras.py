@@ -783,6 +783,12 @@ LEFT JOIN ka USING (doc_id)"""
         f"CASE WHEN t.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
         for i in range(N_MINHASH_AUTO)
     )
+
+    # repeated_ngram_spans_incremental (r09): the span store's N-batch
+    # ingest must converge on the ONE-SHOT definition over the union —
+    # identical oracle, k=8 pinned both sides (extras/incr_spans.py)
+    q["repeated_ngram_spans_incremental"] = q["repeated_ngram_spans"]
+
     q["decontaminate_fuzzy"] = f"""
 WITH {_SHINGLES_UNCAPPED},
 {_minhash_sig()},

@@ -43,7 +43,7 @@ SCALE_CRITICAL = {
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
 # r09 fills the window by accumulated-green count ascending over
-# CORRECTNESS_r01..r08: the eleven r09 additions lead (0-green by
+# CORRECTNESS_r01..r08: the twelve r09 additions lead (0-green by
 # construction — repeated_ngram_spans, paragraph_dedup_incremental,
 # the three dsir entries, the two decontaminate entries, paragraph_dedup and the
 # gopher/subword manifest entries), then the four once-green r08
@@ -53,7 +53,8 @@ SCALE_CRITICAL = {
 # re-attest after the empty-batch and rep-mode changes), and the first 26
 # four-green in registry order.
 R09_WINDOW = [
-    "repeated_ngram_spans", "paragraph_dedup_incremental", "dsir_weights",
+    "repeated_ngram_spans", "repeated_ngram_spans_incremental",
+    "paragraph_dedup_incremental", "dsir_weights",
     "dsir_weights_incremental", "dsir_select", "decontaminate_spans",
     "decontaminate_fuzzy",
     "paragraph_dedup", "curation_manifest_gopher", "curation_manifest_subword",
@@ -69,7 +70,7 @@ R09_WINDOW = [
     "step_cpk_trend", "failed_boards_display", "product_hourly",
     "product_daily_failures", "product_failed_boards", "ann_bruteforce",
     "ann_bucketed", "embedding_dup_pairs", "media_stats", "frame_sample_plan",
-    "mb_result_boxes", "events_hourly",
+    "mb_result_boxes",
 ]
 
 
