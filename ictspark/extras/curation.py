@@ -915,6 +915,7 @@ def dsir_select(
     target_docs: DataFrame,
     budget_tokens: int = DSIR_SELECT_BUDGET,
     n_buckets: int = DSIR_BUCKETS,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """The selection half of DSIR (Xie et al. 2023): rank raw docs by
     length-normalized importance (logw / n_feats — the per-occurrence mean,
@@ -936,13 +937,17 @@ def dsir_select(
     global prefix is exact); the within-bucket residual window partitions
     by bucket. Skew bound: docs per 0.001-score slice — pathological only
     if the corpus' scores are near-constant, in which case selection
-    itself is meaningless."""
+    itself is meaningless. ``tokenizer`` ('ws' default / 'subword', the
+    budget-family convention shared with mixture_plan/pack_sequences) is
+    the unit the budget line and the reported n_tokens are measured in —
+    the RANK is unit-free (score = logw/n_feats over hashed features),
+    only where the budget line falls moves."""
     score = F.round(F.col("logw") / F.col("n_feats"), 6)
     w = dsir_weights(raw_docs, target_docs, n_buckets=n_buckets).select(
         "doc_id", "n_feats", "logw", score.alias("score")
     )
     d = raw_docs.select(
-        "doc_id", _token_count("ws").alias("n_tokens")
+        "doc_id", _token_count(tokenizer).alias("n_tokens")
     ).join(w, "doc_id")
     d = d.withColumn("sb", F.floor(F.col("score") * 1000).cast("long"))
     btok = d.groupBy("sb").agg(F.sum("n_tokens").alias("bt"))

@@ -1648,6 +1648,33 @@ def test_dsir_weights_separate_domains(spark):
     assert again == {d: r["logw"] for d, r in out.items()}
 
 
+def test_dsir_select_subword_budget_shift(spark):
+    """The budget-family tokenizer convention on dsir_select: the RANK is
+    unit-free, but where the budget line falls moves with the unit — a
+    CJK doc costs its ws count under 'ws' and ~8x that under 'subword',
+    so the same budget admits fewer docs past it."""
+    from ictspark.extras.curation import dsir_select
+
+    target = spark.createDataFrame(
+        [(100, "一二三四五六七八 " * 3)], "doc_id long, text string"
+    )
+    cjk = " ".join("一二三四五六七八" for _ in range(2))  # 2 ws toks, 16 subword
+    raw = spark.createDataFrame(
+        [(i, cjk) for i in range(1, 7)], "doc_id long, text string"
+    )
+    ws = {r["doc_id"]: r for r in dsir_select(raw, target, budget_tokens=8).collect()}
+    sw = {
+        r["doc_id"]: r
+        for r in dsir_select(raw, target, budget_tokens=8, tokenizer="subword").collect()
+    }
+    # identical text -> identical scores -> rank = doc_id order in both units
+    assert sum(1 for r in ws.values() if r["keep"]) == 4      # 4 x 2 ws toks fill 8
+    assert sum(1 for r in sw.values() if r["keep"]) == 1      # 1 x 16 overshoots 8
+    assert ws[1]["n_tokens"] == 2 and sw[1]["n_tokens"] == 16
+    for d in ws:  # rank identical across units
+        assert ws[d]["score"] == sw[d]["score"]
+
+
 def test_decontaminate_fuzzy_flags_paraphrase(spark):
     """The fuzzy complement's reason to exist: a lightly-edited eval item
     shares almost no exact 8-grams (decontaminate_spans removes ~nothing)
