@@ -308,3 +308,82 @@ def incremental_dsir_demo(
     for i in range(n_batches):
         ingest_batch(raw.where(F.col("doc_id") % n_batches == i), store, f"b{i:03d}")
     return weights_read(spark, store)
+
+
+def incremental_select_demo(
+    spark: SparkSession,
+    documents: DataFrame,
+    n_batches: int = 3,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """The graded ``dsir_select_incremental`` entry: same splits and store
+    scheme as ``incremental_dsir_demo`` (the two demos share a store when
+    both run — same content key), returning the standing SELECTION.
+    Oracle = the one-shot ``dsir_select`` SQL over the union."""
+    import hashlib
+    import tempfile
+
+    target = documents.where(F.col("doc_id") % 5 == 0)
+    raw = documents.where(F.col("doc_id") % 5 != 0)
+    store = store_dir
+    if store is None:
+        _, _, sig_str = incremental._input_sig(documents)
+        key = hashlib.md5(
+            f"{sig_str}|{n_batches}|fmt{DSIR_STORE_FORMAT}|pid{os.getpid()}".encode()
+        ).hexdigest()[:12]
+        store = os.path.join(tempfile.gettempdir(), f"ictspark_dsir_demo_{key}")
+    init_store(target, store)
+    for i in range(n_batches):
+        ingest_batch(raw.where(F.col("doc_id") % n_batches == i), store, f"b{i:03d}")
+    return select_read(spark, store)
+
+
+def select_read(
+    spark: SparkSession, store_dir: str, budget_tokens: int | None = None
+) -> DataFrame:
+    """The standing SELECTION — ``curation.dsir_select`` over the store's
+    current weights, without reading any text: the family's whitespace
+    token count is DERIVABLE from the stored facts (a doc with n >= 1
+    tokens has exactly n unigram + n-1 bigram occurrences, so n =
+    (n_feats + 1) / 2 — integer-exact), so the rank, the budget line and
+    the keep prefix all re-derive from compact state. Selection is
+    retroactive twice over: every arrival moves every stored doc's weight
+    AND adds competitors under the same budget — exactly why it's a read,
+    never ingest state. ws units only (the derivation is the ws
+    tokenizer's; subword budgeting needs the one-shot operator or a
+    stored column). Output = the exact ``dsir_select`` shape."""
+    from ictspark.extras.curation import DSIR_SELECT_BUDGET
+    from pyspark.sql import Window
+
+    if budget_tokens is None:
+        budget_tokens = DSIR_SELECT_BUDGET
+    w = weights_read(spark, store_dir)
+    d = w.select(
+        "doc_id",
+        "n_feats",
+        "logw",
+        F.round(F.col("logw") / F.col("n_feats"), 6).alias("score"),
+        ((F.col("n_feats") + 1) / 2).cast("bigint").alias("n_tokens"),
+    ).withColumn("sb", F.floor(F.col("score") * 1000).cast("long"))
+    btok = d.groupBy("sb").agg(F.sum("n_tokens").alias("bt"))
+    w_off = Window.orderBy(F.desc("sb")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btok.withColumn("toff", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
+    w_b = (
+        Window.partitionBy("sb")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        d.withColumn("local_before", F.coalesce(F.sum("n_tokens").over(w_b), F.lit(0)))
+        .join(F.broadcast(offsets.select("sb", "toff")), "sb")
+        .withColumn("tokens_before", F.col("toff") + F.col("local_before"))
+    )
+    return cum.select(
+        "doc_id",
+        "n_feats",
+        "logw",
+        "score",
+        "n_tokens",
+        "tokens_before",
+        (F.col("tokens_before") < budget_tokens).alias("keep"),
+    )

@@ -955,6 +955,12 @@ SELECT doc_id, n_feats, logw, score, n_tokens,
          AS keep
 FROM scored"""
 
+
+    # dsir_select_incremental (r09): the store's standing selection must
+    # converge on the ONE-SHOT dsir_select over the union (extras/incr_dsir
+    # select_read derives ws token counts integer-exactly from n_feats)
+    q["dsir_select_incremental"] = q["dsir_select"]
+
     q["repetition_score"] = f"""
 WITH {_TOKS},
 tri AS (

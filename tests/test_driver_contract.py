@@ -43,7 +43,7 @@ SCALE_CRITICAL = {
 # subset, so any insertion/reorder that silently changes what the driver
 # grades is loud). Rotation is deliberate and happens HERE, per round.
 # r09 fills the window by accumulated-green count ascending over
-# CORRECTNESS_r01..r08: the twelve r09 additions lead (0-green by
+# CORRECTNESS_r01..r08: the thirteen r09 additions lead (0-green by
 # construction — repeated_ngram_spans, paragraph_dedup_incremental,
 # the three dsir entries, the two decontaminate entries, paragraph_dedup and the
 # gopher/subword manifest entries), then the four once-green r08
@@ -55,7 +55,8 @@ SCALE_CRITICAL = {
 R09_WINDOW = [
     "repeated_ngram_spans", "repeated_ngram_spans_incremental",
     "paragraph_dedup_incremental", "dsir_weights",
-    "dsir_weights_incremental", "dsir_select", "decontaminate_spans",
+    "dsir_weights_incremental", "dsir_select", "dsir_select_incremental",
+    "decontaminate_spans",
     "decontaminate_fuzzy",
     "paragraph_dedup", "curation_manifest_gopher", "curation_manifest_subword",
     "curation_manifest_incremental_gopher", "gopher_rules",
@@ -70,8 +71,7 @@ R09_WINDOW = [
     "step_cpk_trend", "failed_boards_display", "product_hourly",
     "product_daily_failures", "product_failed_boards", "ann_bruteforce",
     "ann_bucketed", "embedding_dup_pairs", "media_stats", "frame_sample_plan",
-    "mb_result_boxes",
-]
+    ]
 
 
 def _driver_green_rounds(name: str) -> int:

@@ -184,6 +184,27 @@ def test_stream_ingest_equals_oneshot(spark, raw, target, tmp_path_factory):
     assert _rows(ID.weights_read(spark, store)) == _rows(dsir_weights(raw, target))
 
 
+def test_select_read_equals_oneshot(spark, raw, target, tmp_path_factory):
+    """The standing SELECTION must equal the one-shot dsir_select over the
+    union — including after a later batch retroactively moves weights and
+    adds competitors under the same budget — without the store ever
+    storing token counts (n = (n_feats+1)/2 is integer-exact for ws)."""
+    from ictspark.extras.curation import dsir_select
+
+    store = str(tmp_path_factory.mktemp("dsirsel"))
+    ID.init_store(target, store)
+    b0 = raw.where(F.col("doc_id") % 2 == 0)
+    ID.ingest_batch(b0, store, "b0")
+    assert _rows(ID.select_read(spark, store)) == _rows(dsir_select(b0, target))
+    b1 = raw.where(F.col("doc_id") % 2 == 1)
+    ID.ingest_batch(b1, store, "b1")
+    assert _rows(ID.select_read(spark, store)) == _rows(dsir_select(raw, target))
+    # a tighter budget keeps a strict prefix of the same rank
+    tight = {r["doc_id"] for r in ID.select_read(spark, store, budget_tokens=200).collect() if r["keep"]}
+    wide = {r["doc_id"] for r in ID.select_read(spark, store, budget_tokens=2000).collect() if r["keep"]}
+    assert tight <= wide and len(tight) < len(wide)
+
+
 def test_demo_matches_registry_oracle_shape(spark, docs):
     """The graded demo entry: same split convention as the one-shot
     ``dsir_weights`` registry entry, so the standing weights must equal it
