@@ -50,8 +50,8 @@ SCALE_CRITICAL = {
 # additions, the 4 twice-green, the 8 thrice-green (the
 # manifest/mixture/pack family re-attests after the
 # tokenizer/para_dedup/empty-input changes; the two incremental stores
-# re-attest after the empty-batch and rep-mode changes), and the first 26
-# four-green in registry order.
+# re-attest after the empty-batch and rep-mode changes), and the leading
+# four-green in registry order up to the 50-cap.
 R09_WINDOW = [
     "repeated_ngram_spans", "repeated_ngram_spans_incremental",
     "paragraph_dedup_incremental", "dsir_weights",
