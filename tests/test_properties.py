@@ -463,3 +463,44 @@ def test_incr_dsir_matches_oneshot_property(spark, tmp_path_factory):
         assert got == want
 
     check()
+
+
+def test_incr_spans_matches_brute_property(spark, tmp_path_factory):
+    """Hypothesis: the incremental span store's split ingest equals the
+    brute-force Python span reference over the union — random small-alphabet
+    corpora (forced repeats) and random 2-way splits, so keeper election
+    genuinely crosses batches on most draws."""
+    from hypothesis import given, settings, strategies as st
+
+    from ictspark.extras import incr_spans
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=14)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(doc, min_size=2, max_size=5),
+        st.randoms(use_true_random=False),
+    )
+    def check(docs_tokens, rng):
+        token_lists = {i + 1: t for i, t in enumerate(docs_tokens)}
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in token_lists.items()],
+            "doc_id long, text string",
+        )
+        split = {d: rng.randint(0, 1) for d in token_lists}
+        store = str(tmp_path_factory.mktemp("spanprop"))
+        k = 3
+        for i in (0, 1):
+            ids = [d for d, s_ in split.items() if s_ == i]
+            if ids:
+                incr_spans.ingest_batch(
+                    df.where(F.col("doc_id").isin(ids)), store, f"b{i}", k=k
+                )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["new_text"])
+            for r in incr_spans.spans_read(spark, store).collect()
+        }
+        assert got == _py_spans(token_lists, k, k)
+
+    check()
