@@ -504,3 +504,88 @@ def test_incr_spans_matches_brute_property(spark, tmp_path_factory):
         assert got == _py_spans(token_lists, k, k)
 
     check()
+
+
+def _py_fuzzy_decontam(train_tokens, bench_tokens, k, threshold):
+    """Pure-Python decontaminate_fuzzy reference: 3-gram shingles (distinct,
+    uncapped), the md5-derived linear-permutation MinHash family, est =
+    matching-position fraction, per-train rollup with explicit 0/false for
+    clean docs — a third derivation beside the Spark plan and the DuckDB
+    brute-force oracle."""
+    import hashlib
+
+    from ictspark.extras.dedup import MH_PRIME, mh_coeffs
+
+    def sig(toks, kk):
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+        if not sh:
+            return None
+        vals = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh]
+        halves = [(v >> 30, v & ((1 << 30) - 1)) for v in vals]
+        return [
+            min((a * hi + b * lo + c) % MH_PRIME for hi, lo in halves)
+            for a, b, c in mh_coeffs(kk)
+        ]
+
+    kk = k
+    tsig = {d: sig(t, kk) for d, t in train_tokens.items()}
+    bsig = {d: sig(t, kk) for d, t in bench_tokens.items()}
+    out = {}
+    for d, s in tsig.items():
+        hits = []
+        if s is not None:
+            for bs in bsig.values():
+                if bs is None:
+                    continue
+                est = sum(1 for x, y in zip(s, bs) if x == y) / kk
+                if est >= threshold:
+                    hits.append(est)
+        out[d] = (
+            len(hits),
+            round(max(hits), 4) if hits else None,
+            len(hits) > 0,
+        )
+    return out
+
+
+def test_decontaminate_fuzzy_property(spark):
+    """Hypothesis: decontaminate_fuzzy equals the brute-force Python MinHash
+    reference on random small-alphabet corpora — flags, hit counts and
+    max_est all match, clean docs explicit."""
+    from hypothesis import given, settings, strategies as st
+
+    from ictspark.extras.dedup import (
+        AUTO_MAX_K,
+        LSH_THRESHOLD,
+        minhash_bands_for,
+        minhash_rows_for,
+    )
+    from ictspark.extras.dedup import decontaminate_fuzzy
+    from ictspark.extras.similarity import AUTO_TARGET_RECALL
+
+    r = minhash_rows_for(LSH_THRESHOLD, AUTO_MAX_K, AUTO_TARGET_RECALL)
+    k = r * minhash_bands_for(LSH_THRESHOLD, r, AUTO_TARGET_RECALL)
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=12)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4), st.lists(doc, min_size=1, max_size=2))
+    def check(train_docs, bench_docs):
+        train = {i + 1: t for i, t in enumerate(train_docs)}
+        bench = {100 + i: t for i, t in enumerate(bench_docs)}
+        tdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in train.items()], "doc_id long, text string"
+        )
+        bdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in bench.items()], "doc_id long, text string"
+        )
+        got = {
+            r_["doc_id"]: (r_["n_bench_hits"], r_["max_est"], r_["contaminated"])
+            for r_ in decontaminate_fuzzy(tdf, bdf).collect()
+        }
+        assert got == _py_fuzzy_decontam(train, bench, k, LSH_THRESHOLD)
+
+    check()
