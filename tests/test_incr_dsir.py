@@ -215,3 +215,23 @@ def test_demo_matches_registry_oracle_shape(spark, docs):
     )
     assert got.columns == ["doc_id", "n_feats", "logw"]
     assert _rows(got) == _rows(want)
+
+
+def test_orphan_partition_ignored(spark, raw, target, tmp_path_factory):
+    """Crash between a partition write and its journal commit: the orphan
+    batch dirs must be invisible (journal is authoritative) and the batch's
+    retry must overwrite them idempotently."""
+    store = str(tmp_path_factory.mktemp("dsirorphan"))
+    ID.init_store(target, store)
+    b0 = raw.where(F.col("doc_id") % 2 == 0)
+    b1 = raw.where(F.col("doc_id") % 2 == 1)
+    ID.ingest_batch(b0, store, "b0")
+    after_b0 = _rows(ID.weights_read(spark, store))
+    spark.createDataFrame(
+        [(999_999, 0, 12345)], ID._FEAT_SCHEMA
+    ).write.mode("overwrite").parquet(ID._part(store, "feats", "b1"))
+    assert _rows(ID.weights_read(spark, store)) == after_b0  # orphan unread
+    ID.ingest_batch(b1, store, "b1")  # retry overwrites the orphan
+    got = {r["doc_id"] for r in ID.weights_read(spark, store).collect()}
+    assert 999_999 not in got
+    assert _rows(ID.weights_read(spark, store)) == _rows(dsir_weights(raw, target))

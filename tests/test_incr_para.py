@@ -141,3 +141,23 @@ def test_stream_ingest_equals_oneshot(spark, docs, tmp_path_factory):
     n_after = len(incremental._committed(IP._lineage(store).entries()))
     assert n_after == n_committed + 1
     assert _rows(IP.paradedup_read(spark, store)) == _rows(paragraph_dedup(docs))
+
+
+def test_orphan_partition_ignored(spark, docs, tmp_path_factory):
+    """Crash between a partition write and its journal commit: the orphan
+    batch dirs must be invisible (journal is authoritative) and the batch's
+    retry must overwrite them idempotently."""
+    store = str(tmp_path_factory.mktemp("paraorphan"))
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    IP.ingest_batch(b0, store, "b0")
+    after_b0 = _rows(IP.paradedup_read(spark, store))
+    # simulate b1's torn ingest: an occurrence partition exists, no commit
+    spark.createDataFrame(
+        [(999_999, 0, "deadbeef", "ghost para")], IP._OCC_SCHEMA
+    ).write.mode("overwrite").parquet(IP._part(store, "occ", "b1"))
+    assert _rows(IP.paradedup_read(spark, store)) == after_b0  # orphan unread
+    IP.ingest_batch(b1, store, "b1")  # retry overwrites the orphan
+    got = {r["doc_id"] for r in IP.paradedup_read(spark, store).collect()}
+    assert 999_999 not in got
+    assert _rows(IP.paradedup_read(spark, store)) == _rows(paragraph_dedup(docs))

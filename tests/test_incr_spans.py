@@ -143,3 +143,22 @@ def test_stream_ingest_equals_oneshot(spark, docs, tmp_path_factory):
     n_after = len(incremental._committed(IS._lineage(store).entries()))
     assert n_after == n_committed + 1
     assert _rows(IS.spans_read(spark, store)) == _rows(repeated_ngram_spans(docs, k=8))
+
+
+def test_orphan_partition_ignored(spark, docs, tmp_path_factory):
+    """Crash between a partition write and its journal commit: the orphan
+    batch dirs must be invisible (journal is authoritative) and the batch's
+    retry must overwrite them idempotently."""
+    store = str(tmp_path_factory.mktemp("spanorphan"))
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    IS.ingest_batch(b0, store, "b0")
+    after_b0 = _rows(IS.spans_read(spark, store))
+    spark.createDataFrame(
+        [(999_999, 0, "deadbeef")], IS._OCC_SCHEMA
+    ).write.mode("overwrite").parquet(IS._part(store, "occ", "b1"))
+    assert _rows(IS.spans_read(spark, store)) == after_b0  # orphan unread
+    IS.ingest_batch(b1, store, "b1")  # retry overwrites the orphan
+    got = {r["doc_id"] for r in IS.spans_read(spark, store).collect()}
+    assert 999_999 not in got
+    assert _rows(IS.spans_read(spark, store)) == _rows(repeated_ngram_spans(docs, k=8))
