@@ -552,6 +552,7 @@ def curate_pipeline(
     gopher: bool = False,
     para_dedup: bool = False,
     span_dedup_k: int | None = None,
+    decontam_spans_k: int | None = None,
     tokenizer: str = "ws",
 ) -> DataFrame:
     """The END-TO-END curation manifest (VERDICT r05 item 2): the operators
@@ -574,6 +575,16 @@ def curate_pipeline(
                          the paragraph stage: paragraphs catch author-
                          delimited boilerplate, spans catch the inlined rest.
                          Same pure pre-composition contract;
+      0c. (opt-in, ``decontam_spans_k=K``, also a REWRITE) span-surgical
+                         benchmark decontamination (dedup.decontaminate_spans)
+                         on the NON-benchmark side: exactly the token spans a
+                         benchmark K-gram covers leave the text, so a doc
+                         quoting an eval item keeps its original prose and
+                         SURVIVES stage 5 (which would otherwise drop it
+                         whole for the quoted trigrams) — the keep-the-doc
+                         policy alternative to the any-overlap doc drop.
+                         Benchmark rows keep their original text (they define
+                         stage 5's shingles and are dropped at stage 1);
       1. 'benchmark'     the held-out eval set is never trained on (it still
                          DEFINES the contamination shingles below). The set
                          is ``benchmark_docs`` when given (the PRODUCTION
@@ -659,6 +670,32 @@ def curate_pipeline(
             "doc_id", F.col("new_text").alias("text")
         )
         documents = documents.drop("text").join(rewritten, "doc_id")
+
+    if decontam_spans_k is not None:
+        # stage 0c (opt-in, r09): span-surgical benchmark decontamination
+        # REWRITE on the non-benchmark side — same pure pre-composition
+        # contract as 0/0b, pinned by test_extras. The benchmark frame
+        # resolves here exactly as stage 1/5 will resolve it; bench rows
+        # pass through untouched (stage 5's shingles come from the
+        # separate benchmark frame, and stage 1 drops them anyway).
+        from ictspark.extras.dedup import decontaminate_spans
+
+        if benchmark_docs is not None:
+            b_ids = benchmark_docs.select("doc_id").distinct()
+            train_side = documents.join(b_ids, "doc_id", "left_anti")
+        else:
+            train_side = documents.where(F.col("doc_id") >= benchmark_max_id)
+        bench_frame = (
+            benchmark_docs
+            if benchmark_docs is not None
+            else documents.where(F.col("doc_id") < benchmark_max_id)
+        )
+        cut = decontaminate_spans(train_side, bench_frame, k=decontam_spans_k).select(
+            "doc_id", F.col("new_text").alias("_cut_text")
+        )
+        documents = documents.join(cut, "doc_id", "left").withColumn(
+            "text", F.coalesce("_cut_text", "text")
+        ).drop("_cut_text")
 
     def _ckpt(df: DataFrame) -> DataFrame:
         """Materialization barrier between stages: every drop branch AND the

@@ -1675,6 +1675,53 @@ def test_dsir_select_subword_budget_shift(spark):
         assert ws[d]["score"] == sw[d]["score"]
 
 
+def test_curate_pipeline_decontam_spans_stage(spark):
+    """decontam_spans_k=K is pure pre-composition on the non-benchmark side
+    (the manifest equals curate_pipeline over the manually span-cut corpus),
+    and it changes the POLICY: a doc quoting an eval 8-gram inside original
+    prose is whole-doc dropped ('contaminated') without the knob, but keeps
+    its cleaned text and SURVIVES stage 5 with it."""
+    from ictspark.extras import curation
+    from ictspark.extras.dedup import decontaminate_spans
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    prose = " ".join(f"p{i}a p{i}b p{i}c" for i in range(12))
+    rows = [
+        # fixture benchmark (doc_id < 25)
+        (1, f"eval question {quote} eval answer", "en", "src0"),
+        # train doc quoting the eval item mid-prose
+        (30, f"{prose} they wrote {quote} and moved on", "en", "src0"),
+        # clean train doc
+        (31, " ".join(f"z{i}x z{i}y z{i}w" for i in range(12)), "en", "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    # without the knob: the quoting doc drops whole at stage 5
+    plain = {r["doc_id"]: r for r in curation.curate_pipeline(docs).collect()}
+    assert plain[30]["drop_reason"] == "contaminated" and not plain[30]["keep"]
+    # with the knob: the quote leaves the text, the doc survives stage 5
+    cut = {
+        r["doc_id"]: r
+        for r in curation.curate_pipeline(docs, decontam_spans_k=8).collect()
+    }
+    assert cut[30]["drop_reason"] != "contaminated" and cut[30]["keep"]
+    assert cut[31]["keep"]
+    # pure pre-composition: equal to the pipeline over the manually-cut corpus
+    train = docs.where(F.col("doc_id") >= 25)
+    bench = docs.where(F.col("doc_id") < 25)
+    man = decontaminate_spans(train, bench, k=8).select(
+        "doc_id", F.col("new_text").alias("_t")
+    )
+    pre = docs.join(man, "doc_id", "left").withColumn(
+        "text", F.coalesce("_t", "text")
+    ).drop("_t")
+    got = sorted(
+        tuple(r)
+        for r in curation.curate_pipeline(docs, decontam_spans_k=8).collect()
+    )
+    want = sorted(tuple(r) for r in curation.curate_pipeline(pre).collect())
+    assert got == want
+
+
 def test_decontaminate_fuzzy_flags_paraphrase(spark):
     """The fuzzy complement's reason to exist: a lightly-edited eval item
     shares almost no exact 8-grams (decontaminate_spans removes ~nothing)
