@@ -589,3 +589,25 @@ def test_decontaminate_fuzzy_property(spark):
         assert got == _py_fuzzy_decontam(train, bench, k, LSH_THRESHOLD)
 
     check()
+
+
+def test_spans_irregular_whitespace_positions(spark):
+    """Pinned edge for the r09 lead-chain shingle rewrite: post-filter token
+    positions under leading/multiple whitespace and tabs (posexplode's
+    pre-filter index -> row_number post-filter) must match the brute-force
+    reference — the generated property corpora are single-spaced, so this
+    edge needs its own fixture."""
+    from ictspark.extras.dedup import repeated_ngram_spans
+
+    texts = {
+        1: "  aa\tbb  cc aa bb cc dd  ",
+        2: "aa bb cc aa bb cc dd",
+        3: "\n aa  bb\ncc aa bb cc dd",
+    }
+    token_lists = {d: t.split() for d, t in texts.items()}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["new_text"])
+        for r in repeated_ngram_spans(df, k=3).collect()
+    }
+    assert got == _py_spans(token_lists, 3, 3)
