@@ -410,8 +410,21 @@ def simhash(documents: DataFrame) -> DataFrame:
     key, the unigram_logprob argument) before a map-side-combinable
     majority vote of shift/and bit extractions. Same signatures bit-for-bit
     as the inline form (the oracle is unchanged); the per-occurrence work
-    drops from 64 string probes to 64 integer shifts."""
-    t = _tokens(documents).select("doc_id", "token").distinct()
+    drops from 64 string probes to 64 integer shifts.
+
+    r10: the per-doc DISTINCT token set is built map-side with
+    ``array_distinct`` over the split array instead of a corpus-wide
+    ``.distinct()`` — the set per doc is identical, but the plan drops the
+    (doc_id, token) distinct Exchange entirely (the majority vote's own
+    groupBy(doc_id) is now the only doc-keyed shuffle)."""
+    t = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+            )
+        ).alias("token"),
+    )
     vocab = (
         t.select("token")
         .distinct()
@@ -463,13 +476,22 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) 
     s = simhash(documents)
     n_chunks = max_hamming + 1
     chunk_bits = -(-N_SIMHASH_BITS // n_chunks)  # ceil
-    buckets = None
-    for j in range(n_chunks):
-        a, b = j * chunk_bits, min((j + 1) * chunk_bits, N_SIMHASH_BITS)
-        part = s.select(
-            "doc_id", "sim_hi", "sim_lo", F.lit(j).alias("chunk"), _chunk_expr(a, b).alias("cval")
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+    # ONE posexplode pass over the signature frame, not an n_chunks-way union
+    # of selects (r10, the minhash_lsh_pairs r06 lesson): each union branch
+    # re-executed the post-shuffle 64-agg majority vote — and the self-join
+    # doubled that again, 8 HashAggregate evaluations where one suffices
+    # (66 Exchanges → 5 in the physical plan; measured 6.8 s → ~2.5 s warm
+    # at sf0.1/32). posexplode keeps the same (doc_id, chunk, cval) rows
+    # from a single evaluation, so the pair set is byte-identical.
+    chunk_vals = F.array(
+        *[
+            _chunk_expr(j * chunk_bits, min((j + 1) * chunk_bits, N_SIMHASH_BITS))
+            for j in range(n_chunks)
+        ]
+    )
+    buckets = s.select(
+        "doc_id", "sim_hi", "sim_lo", F.posexplode(chunk_vals).alias("chunk", "cval")
+    )
     a_ = buckets.alias("a")
     b_ = buckets.alias("b")
     ham = F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))) + F.bit_count(
