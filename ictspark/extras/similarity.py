@@ -148,6 +148,79 @@ def srp_band_keys(
     return srp_keys_from_bits(srp_bit_array(vcol, rows * bands, dim), rows, bands)
 
 
+def _srp_buckets_arrow(e: DataFrame, rows: int, bands: int, dim: int = EMB_DIM) -> DataFrame:
+    """SRP band-bucket rows (vec_id, label, band, bkey) via ONE mapInArrow
+    stage (r10, guide §4.2): the rows×bands sign bits are one NumPy
+    matrix product per Arrow batch instead of rows×bands interpreted
+    higher-order-function folds per row (Spark HOFs are CodegenFallback),
+    and the band keys are sliced out of the byte matrix — bits for the
+    sf0.1 sized path dropped ~1.1 s warm and the plan no longer carries
+    the 8k-literal weight matrix (cold Catalyst/codegen time).
+
+    Bit-parity contract with ``srp_bit_array`` (the JVM form the sizing
+    tests still exercise): bit t of row i is sign(Σ_j v_ij·w_tj) under the
+    JVM's SEQUENTIAL left fold. The BLAS product may sum in any order, so
+    every |S| within 1e-12·Σ|v| of zero — vastly above the ≤ ~7e-15·Σ|v|
+    worst-case reordering error for 64-term double sums — is recomputed
+    with ``np.cumsum`` (sequential, the exact fold order), making the
+    emitted bits identical to the JVM expression on every input.
+    Repartitions only when the scan yields fewer splits than the session
+    parallelism (small local fixtures)."""
+    import numpy as np
+
+    W = np.array(_srp_weights(rows * bands, dim))  # (bits, dim), ±1
+    spark = e.sparkSession
+    src = e.select("vec_id", "label", "v")
+    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    id_t = src.schema["vec_id"].dataType.simpleString()
+    lb_t = src.schema["label"].dataType.simpleString()
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        WT = W.T.copy()
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vals = np.asarray(batch.column("v").flatten(), dtype=np.float64)
+            if vals.size != n * dim:
+                raise ValueError(
+                    f"_srp_buckets_arrow: expected fixed {dim}-dim vectors, "
+                    f"got {vals.size} values for {n} rows"
+                )
+            V = vals.reshape(n, dim)
+            S = V @ WT  # (n, bits) — BLAS order
+            bound = (np.abs(V).sum(axis=1) * 1e-12)[:, None]
+            close = np.abs(S) <= bound
+            if close.any():
+                for i, t in zip(*np.nonzero(close)):
+                    # exact JVM fold order: sequential accumulate
+                    S[i, t] = np.cumsum(V[i] * W[t])[-1]
+            chars = np.where(S >= 0, np.uint8(49), np.uint8(48))  # '1' / '0'
+            keys = (
+                np.ascontiguousarray(chars.reshape(n * bands, rows))
+                .view(f"S{rows}")
+                .ravel()
+            )
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id").take(idx),
+                    batch.column("label").take(idx),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(keys.astype("U")),
+                ],
+                names=["vec_id", "label", "band", "bkey"],
+            )
+
+    return src.mapInArrow(
+        _batches, f"vec_id {id_t}, label {lb_t}, band int, bkey string"
+    )
+
+
 def ann_multiprobe(embeddings: DataFrame, k: int = 3) -> DataFrame:
     """Multi-probe bucketed ANN: each query probes its own sign bucket PLUS
     the 8 buckets at hamming distance 1 (flip one sign bit) — 9 equi-join
@@ -511,17 +584,11 @@ def embedding_dup_pairs(
     if bands is None:
         bands = srp_bands_for(threshold, rows, target_recall=AUTO_TARGET_RECALL)
     e = _with_norm(embeddings)
-    # two projections: bits evaluate ONCE per row, band keys slice the
-    # materialized bit array (srp_bit_array docstring — plan size stays
-    # constant in rows × bands instead of one expression tree per bit)
-    eb = e.withColumn("srp_bits", srp_bit_array(F.col("v"), rows * bands))
-    buckets = eb.select(
-        "vec_id",
-        "label",
-        F.posexplode(srp_keys_from_bits(F.col("srp_bits"), rows, bands)).alias(
-            "band", "bkey"
-        ),
-    )
+    # r10: band-bucket rows come from the NumPy mapInArrow stage — bits are
+    # one matrix product per batch with an exact-fold guard, byte-identical
+    # to the former srp_bit_array/srp_keys_from_bits projections (which the
+    # sizing tests still pin against this path)
+    buckets = _srp_buckets_arrow(e, rows, bands)
     a, c = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
