@@ -48,9 +48,38 @@ def dedup_components(
         .distinct()
         .persist()
     )
-    edges.count()  # materialize while the pairs cache is alive (one LSH pass)
+    n_edges = edges.count()  # materialize while the pairs cache is alive (one LSH pass)
     pairs.unpersist()
     try:
+        # r10: size-adaptive CC plan choice — the incremental store's
+        # cc_railed rule (incremental.py LOCAL_CC_MAX_EDGES rationale, r08):
+        # at or under the rail the near-dup graph folds in a driver-local
+        # union-find (bit-identical min-id fixpoint, ~ms) instead of paying
+        # O(diameter) full scheduling rounds of distributed label
+        # propagation (~0.7 s each at any corpus size — measured 6.1 s for
+        # a 514-edge graph at sf0.1/32). The collect is bounded by the rail
+        # (edge rows AND their node ids), never by corpus size; singletons
+        # never leave the cluster — they re-enter via the doc_id left join.
+        # Above the rail the distributed fixpoint runs unchanged.
+        from ictspark.extras.incremental import LOCAL_CC_MAX_EDGES, _local_cc
+
+        if n_edges <= LOCAL_CC_MAX_EDGES:
+            sub = _local_cc(
+                documents.sparkSession,
+                edges.select(F.col("doc_a").alias("doc_id")),
+                edges,
+            )
+            out = (
+                documents.select("doc_id")
+                .join(F.broadcast(sub), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("component"),
+                )
+                .persist()
+            )
+            out.count()
+            return out
         # NOTE: the returned labels frame is materialized (persisted) — the
         # caller may .unpersist() it when done with the result
         return connected_components(documents.select("doc_id"), edges, max_iter)
@@ -66,7 +95,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 100
     (no driver-side graph); the driver loop only reads a convergence count.
     Raises RuntimeError if max_iter rounds pass without convergence (an
     un-converged partition must never be returned silently)."""
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
+    # r10: iterate ONLY the 2-core — nodes that appear in an edge (doc_a
+    # covers all of them, edges are symmetric). On a mostly-unique corpus the
+    # duplicate graph is a tiny fraction of the node set, so every
+    # per-iteration shuffle shrinks from O(corpus) to O(dup-graph nodes);
+    # untouched nodes cannot change label (no edges) and re-enter as
+    # singletons in the final left join. The changed-count also rides the
+    # carried _old column now instead of a second labels join per round.
+    active = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = active.withColumn("component", F.col("doc_id")).persist()
+    cached = labels
     converged = False
     for it in range(max_iter):
         # neighbor labels: for each doc, the min component among its neighbors
@@ -75,23 +113,22 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 100
             .groupBy("doc_a")
             .agg(F.min("component").alias("nb_component"))
         )
-        new_labels = (
-            labels.join(nb, labels.doc_id == nb.doc_a, "left")
+        new = (
+            labels.select("doc_id", F.col("component").alias("_old"))
+            .join(nb, F.col("doc_id") == nb.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce("nb_component", F.col("component"))
+                    F.col("_old"), F.coalesce("nb_component", F.col("_old"))
                 ).alias("component"),
+                "_old",
             )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new.where("component != _old").count()
+        cached.unpersist()
+        cached = new
+        labels = new.select("doc_id", "component")
         if changed == 0:
             converged = True
             break
@@ -100,12 +137,22 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 100
         # analysis time at high-diameter graphs (standard hygiene at scale)
         if it % 4 == 3:
             ck = labels.localCheckpoint(eager=True)
-            labels.unpersist()  # the checkpoint replaces the cache — don't leak it
+            cached.unpersist()  # the checkpoint replaces the cache — don't leak it
+            cached = ck
             labels = ck
     if not converged:
-        labels.unpersist()
+        cached.unpersist()
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    return labels
+    out = (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+        .persist()
+    )
+    out.count()  # materialize while the loop cache is alive, then release it
+    cached.unpersist()
+    return out
 
 
 def keep_columns(labels: DataFrame) -> DataFrame:
@@ -920,12 +967,33 @@ def dsir_weights(
     raw side's feature stream equi-joins it (broadcast — the build side is
     bounded by n_buckets, never by vocabulary) and folds per doc. The only
     window is the per-doc bigram lead. All JVM-side."""
-    tf = dsir_feature_stream(target_docs, n_buckets)
-    rf = dsir_feature_stream(raw_docs, n_buckets)
-    tcnt = tf.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    rcnt = rf.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    ttot = tf.agg(F.count(F.lit(1)).cast("double").alias("tt"))
-    rtot = rf.agg(F.count(F.lit(1)).cast("double").alias("rt"))
+    # r10 (guide §1.2 — don't compute things twice): ONE text pass per side.
+    # The former shape re-derived the raw feature stream 3× (rcnt, rtot,
+    # scoring join) and the target stream 2× (tcnt, ttot). Now the per-doc
+    # bucket-count table rfd is the sufficient statistic (exactly the
+    # incr_dsir store's fold shape): a materialization barrier after it
+    # stops the declarative re-scan (the repeated_ngram_spans occs rule),
+    # rcnt/rtot derive from rfd, ttot from tcnt, and scoring folds c·lr per
+    # (doc, bucket) row — the store's read formula (incr_dsir.py select),
+    # which the graded store entries already prove round(6)-identical to
+    # the per-occurrence sum.
+    tcnt = dsir_feature_stream(target_docs, n_buckets).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    rfd = (
+        dsir_feature_stream(raw_docs, n_buckets)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sc = raw_docs.sparkSession.sparkContext
+    rfd = (
+        rfd.checkpoint(eager=True)
+        if sc.getCheckpointDir() is not None
+        else rfd.localCheckpoint(eager=True)
+    )
+    rcnt = rfd.groupBy("b").agg(F.sum("c").alias("cr"))
+    ttot = tcnt.agg(F.sum("ct").cast("double").alias("tt"))
+    rtot = rfd.agg(F.sum("c").cast("double").alias("rt"))
     ratio = (
         tcnt.join(rcnt, "b", "full_outer")
         .crossJoin(F.broadcast(ttot))
@@ -938,9 +1006,9 @@ def dsir_weights(
             ).alias("lr"),
         )
     )
-    return rf.join(F.broadcast(ratio), "b").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-        F.round(F.sum("lr"), 6).alias("logw"),
+    return rfd.join(F.broadcast(ratio), "b").groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_feats"),
+        F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
     )
 
 

@@ -228,13 +228,26 @@ def minhash_signatures(
     The per-shingle saving scales with corpus size. The hex parse is
     engine-portable: Spark conv(hex, 16, 10), DuckDB CAST('0x…' AS BIGINT).
     """
-    sh = shingles(documents, max_df=max_df)
+    # r10: hash each shingle to its 60-bit digest value BEFORE the distinct
+    # and df-cap shuffles — the signature never looks at the shingle string
+    # again, so both Exchanges carry (doc_id, hi, lo) longs instead of the
+    # ~25-byte trigram text (same rows, ~2× fewer shuffle bytes; the df cap
+    # counts per (hi, lo), identical to per-shingle — the signature already
+    # equates a shingle with its md5).
     v = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
-    hv = sh.select(
+    hv = word_trigrams(documents).select(
         "doc_id",
         F.shiftright(v, 30).alias("hi"),
         v.bitwiseAND(F.lit(_MH_HALF_MASK)).alias("lo"),
-    )
+    ).distinct()
+    if max_df is not None:
+        hv = (
+            hv.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("hi", "lo"))
+            )
+            .where(F.col("df") <= max_df)
+            .drop("df")
+        )
     aggs = [
         F.min(
             (F.lit(a) * F.col("hi") + F.lit(b) * F.col("lo") + F.lit(c)) % F.lit(MH_PRIME)
