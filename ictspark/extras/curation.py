@@ -527,24 +527,24 @@ def mixture_plan(
         key.alias("mkey"),
         F.substring(key, 1, 2).alias("bkt"),
     )
-    if weights is None:
-        langs = [r["lang"] for r in documents.select("lang").distinct().collect()]
-        if not langs:
-            # the distinct-collect is empty iff the INPUT is empty (all-NULL
-            # langs still yield [None]): an empty corpus has an empty plan —
-            # an upstream filter stage may legitimately annihilate the
-            # survivor set (a full-battery Gopher pass over a synthetic
-            # corpus does, r09), and curation must compose, not crash
-            return d.select(
-                "doc_id",
-                "lang",
-                "n_tokens",
-                F.lit(0).cast("bigint").alias("target_tokens"),
-                F.lit(0).cast("bigint").alias("tokens_before"),
-                F.lit(False).alias("keep"),
-            )
-        weights = {lang: 1.0 / len(langs) for lang in langs}
-    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    # r10: the uniform default no longer round-trips the language list
+    # through the driver (a blocking distinct+collect job before the plan
+    # could even build) — the language count rides along as a broadcast
+    # 1-row frame and the per-lang target is computed in-plan. Bit-identical
+    # to the dict path it replaces: 1.0/n is the same IEEE double division
+    # Python performed, NULL langs still get target 0 (the map-lookup-of-
+    # NULL behavior), the count counts the NULL group like the collect did,
+    # and an empty corpus yields the same empty (identically-shaped) plan
+    # the former early-return branch produced.
+    uniform = weights is None
+    if uniform:
+        nl = (
+            documents.select("lang")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("double").alias("_nl"))
+        )
+    else:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     # bucket token totals → cumulative offsets (≤256 rows per lang, broadcast)
     btok = d.groupBy("lang", "bkt").agg(F.sum("n_tokens").alias("bt"))
     w_off = (
@@ -564,9 +564,19 @@ def mixture_plan(
     # a lang absent from an explicit weights dict gets target 0 → keep=False
     # for every doc — NOT NULL, which would be invisible to BOTH keep and
     # NOT-keep filters downstream (code-review r05)
-    target = F.coalesce(
-        F.round(wmap[F.col("lang")] * budget_tokens).cast("bigint"), F.lit(0)
-    )
+    if uniform:
+        cum = cum.crossJoin(F.broadcast(nl))
+        target = F.coalesce(
+            F.when(
+                F.col("lang").isNotNull(),
+                F.round((F.lit(1.0) / F.col("_nl")) * budget_tokens),
+            ).cast("bigint"),
+            F.lit(0),
+        )
+    else:
+        target = F.coalesce(
+            F.round(wmap[F.col("lang")] * budget_tokens).cast("bigint"), F.lit(0)
+        )
     return cum.select(
         "doc_id",
         "lang",

@@ -380,14 +380,29 @@ _HALF_BITS = 32  # stored as two non-negative 32-bit halves (engine-portable:
 
 def _parity_mask(col_name: str) -> F.Column:
     """The 32 hex-nibble parity bits of the named md5 column packed into ONE
-    non-negative bigint (bit j = parity of nibble j). The expensive part —
-    32 substring+instr probes per value — runs once per DISTINCT token (see
-    simhash), not once per (doc, token) occurrence."""
+    non-negative bigint (bit j = parity of nibble j), computed once per
+    DISTINCT token (see simhash), not once per (doc, token) occurrence.
+
+    r10: three ``conv`` parses + integer shift/and replace the former 32
+    substring+instr probes — parity of nibble j is bit 4·(chunk_top−j) of
+    the chunk's numeric value, so the whole mask is integer arithmetic on
+    3 parsed longs. Same bits exactly (pinned by an exceptAll A/B against
+    the probe form); the ~2× smaller expression tree also halves the cold
+    Catalyst/codegen cost the one-shot bench pays (5.0 s → 2.8 s first
+    execution at sf0.1/32)."""
+    v1 = F.conv(F.substring(col_name, 1, 15), 16, 10).cast("bigint")  # nibbles 0-14
+    v2 = F.conv(F.substring(col_name, 16, 15), 16, 10).cast("bigint")  # nibbles 15-29
+    v3 = F.conv(F.substring(col_name, 31, 2), 16, 10).cast("bigint")  # nibbles 30-31
     mask = None
     for j in range(_HALF_BITS):
-        nib = F.expr(f"instr('0123456789abcdef', substring({col_name}, {j + 1}, 1)) - 1")
-        bit = (nib % 2 == 1).cast("bigint") * F.lit(1 << j)
-        mask = bit if mask is None else mask + bit
+        if j < 15:
+            bit = F.shiftright(v1, 4 * (14 - j)).bitwiseAND(F.lit(1))
+        elif j < 30:
+            bit = F.shiftright(v2, 4 * (29 - j)).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftright(v3, 4 * (31 - j)).bitwiseAND(F.lit(1))
+        term = bit * F.lit(1 << j)
+        mask = term if mask is None else mask + term
     return mask
 
 
