@@ -64,11 +64,7 @@ def dedup_components(
         from ictspark.extras.incremental import LOCAL_CC_MAX_EDGES, _local_cc
 
         if n_edges <= LOCAL_CC_MAX_EDGES:
-            sub = _local_cc(
-                documents.sparkSession,
-                edges.select(F.col("doc_a").alias("doc_id")),
-                edges,
-            )
+            sub = _local_cc(documents.sparkSession, None, edges)
             out = (
                 documents.select("doc_id")
                 .join(F.broadcast(sub), "doc_id", "left")
@@ -698,7 +694,7 @@ def curate_pipeline(
     only additions are survivor anti-joins on doc_id, each riding the same
     key the next stage shuffles on anyway."""
     from ictspark.extras.dedup import shingles
-    from ictspark.extras.textstats import quality_score
+    from ictspark.extras.textstats import quality_col
 
     if para_dedup:
         # stage 0 (opt-in, r09): corpus-wide repeated-paragraph REWRITE
@@ -770,7 +766,10 @@ def curate_pipeline(
         return df.localCheckpoint(eager=True)
 
     doc_cols = documents.columns
-    base = documents.join(quality_score(documents), "doc_id")
+    # r10: quality is a per-row projection — attach it as a column instead
+    # of sort-merge-joining the corpus against itself on doc_id (2 Exchanges
+    # + sorts of the full text saved; values identical, see quality_col)
+    base = documents.withColumn("quality", quality_col())
     if benchmark_docs is None:
         benchmark_docs = documents.where(F.col("doc_id") < benchmark_max_id)
         # fixture path: the membership test is a plain pushed-down predicate

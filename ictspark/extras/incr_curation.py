@@ -172,7 +172,7 @@ def _facts(batch_docs: DataFrame, store_dir: str) -> DataFrame:
     """One pass over the batch's TEXT → the per-doc facts row. Everything
     here is a pure function of (doc, benchmark set): stage membership is
     decided later, from these columns alone."""
-    from ictspark.extras.textstats import gopher_rules, quality_score
+    from ictspark.extras.textstats import gopher_rules, quality_col
 
     spark = batch_docs.sparkSession
     bench_ids = spark.read.parquet(_bench_dir(store_dir, "ids")).withColumn(
@@ -187,7 +187,9 @@ def _facts(batch_docs: DataFrame, store_dir: str) -> DataFrame:
         .withColumn("_c", F.lit(True))
     )
     return (
-        batch_docs.join(quality_score(batch_docs), "doc_id")
+        # r10: quality attaches as a per-row column (textstats.quality_col)
+        # instead of a corpus self-join on doc_id — same values exactly
+        batch_docs.withColumn("quality", quality_col())
         # the benchmark id set is bounded (an eval corpus), broadcast like
         # curate_pipeline's production path; the contamination hits are a
         # per-batch subset — also bounded, but joined on the batch's own key

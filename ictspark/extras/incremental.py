@@ -242,8 +242,14 @@ def _local_cc(spark: SparkSession, nodes: DataFrame, sym: DataFrame) -> DataFram
     import numpy as np
     import pandas as pd
 
-    id_col = nodes.columns[0]
-    node_ids = nodes.select(id_col).toArrow().column(0).to_numpy()
+    if nodes is None:
+        # r10: callers whose node set IS the edge-endpoint set (the
+        # dedup_components rail — singletons re-enter via a left join) skip
+        # the second collect job; np.unique over the endpoints covers them
+        node_ids = np.empty(0, dtype=np.int64)
+    else:
+        id_col = nodes.columns[0]
+        node_ids = nodes.select(id_col).toArrow().column(0).to_numpy()
     edges = sym.select("doc_a", "doc_b").toArrow()
     ea = edges.column(0).to_numpy()
     eb = edges.column(1).to_numpy()

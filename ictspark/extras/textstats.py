@@ -75,20 +75,31 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_col(text_col: str = "text") -> F.Column:
+    """The composite quality score as ONE column EXPRESSION (r10): consumers
+    that already hold the document row attach it with ``withColumn`` instead
+    of joining the corpus against itself on doc_id — curate_pipeline's stage
+    1 formerly paid a full sort-merge self-join (2 Exchanges + sorts of the
+    text corpus) purely to re-attach this per-row projection. Identical
+    math/rounding to ``quality_score`` (the bands read the same
+    round(·, 4)-ed ratios doc_stats reports)."""
+    toks = F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    sr = F.round(
+        F.try_divide(F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))), F.size(toks)), 4
+    )
+    atl = F.round(F.try_divide(F.length(text_col), F.size(toks)), 4)
+    return F.round(
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5
+        + F.when((sr > 0.01) & (sr < 0.6), 0.3).otherwise(0.0)
+        + F.when((atl > 3) & (atl < 12), 0.2).otherwise(0.0),
+        4,
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Composite quality score (length-normalized + stopword sanity band)."""
-    s = doc_stats(documents)
-    return s.select(
-        "doc_id",
-        F.round(
-            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
-            + F.when((F.col("stopword_ratio") > 0.01) & (F.col("stopword_ratio") < 0.6), 0.3)
-            .otherwise(0.0)
-            + F.when((F.col("avg_token_len") > 3) & (F.col("avg_token_len") < 12), 0.2)
-            .otherwise(0.0),
-            4,
-        ).alias("quality"),
-    )
+    return documents.select("doc_id", quality_col().alias("quality"))
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:
