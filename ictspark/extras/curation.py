@@ -976,33 +976,20 @@ def dsir_weights(
     raw side's feature stream equi-joins it (broadcast — the build side is
     bounded by n_buckets, never by vocabulary) and folds per doc. The only
     window is the per-doc bigram lead. All JVM-side."""
-    # r10 (guide §1.2 — don't compute things twice): ONE text pass per side.
-    # The former shape re-derived the raw feature stream 3× (rcnt, rtot,
-    # scoring join) and the target stream 2× (tcnt, ttot). Now the per-doc
-    # bucket-count table rfd is the sufficient statistic (exactly the
-    # incr_dsir store's fold shape): a materialization barrier after it
-    # stops the declarative re-scan (the repeated_ngram_spans occs rule),
-    # rcnt/rtot derive from rfd, ttot from tcnt, and scoring folds c·lr per
-    # (doc, bucket) row — the store's read formula (incr_dsir.py select),
-    # which the graded store entries already prove round(6)-identical to
-    # the per-occurrence sum.
-    tcnt = dsir_feature_stream(target_docs, n_buckets).groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
-    rfd = (
-        dsir_feature_stream(raw_docs, n_buckets)
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sc = raw_docs.sparkSession.sparkContext
-    rfd = (
-        rfd.checkpoint(eager=True)
-        if sc.getCheckpointDir() is not None
-        else rfd.localCheckpoint(eager=True)
-    )
-    rcnt = rfd.groupBy("b").agg(F.sum("c").alias("cr"))
-    ttot = tcnt.agg(F.sum("ct").cast("double").alias("tt"))
-    rtot = rfd.agg(F.sum("c").cast("double").alias("rt"))
+    # r10 plan-audit note (measured, scripts-style A/B at sf1/32, digests
+    # bit-identical): this declarative shape is ALREADY single-scan —
+    # rf's window Exchange is reused by every consumer (rcnt, rtot, the
+    # scoring join), and the final groupBy(doc_id) rides the window's own
+    # doc_id partitioning with no new Exchange. Two attempted "one pass"
+    # rewrites lost: a (doc_id, b) pre-aggregation added an Exchange the
+    # original never pays (4.0 s vs 3.0 s sf1), and a localCheckpoint
+    # barrier on it materialized ~18M rows for nothing (7.7 s cold).
+    tf = dsir_feature_stream(target_docs, n_buckets)
+    rf = dsir_feature_stream(raw_docs, n_buckets)
+    tcnt = tf.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rcnt = rf.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ttot = tf.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    rtot = rf.agg(F.count(F.lit(1)).cast("double").alias("rt"))
     ratio = (
         tcnt.join(rcnt, "b", "full_outer")
         .crossJoin(F.broadcast(ttot))
@@ -1015,9 +1002,9 @@ def dsir_weights(
             ).alias("lr"),
         )
     )
-    return rfd.join(F.broadcast(ratio), "b").groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_feats"),
-        F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+    return rf.join(F.broadcast(ratio), "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.round(F.sum("lr"), 6).alias("logw"),
     )
 
 
