@@ -228,18 +228,64 @@ def minhash_signatures(
     The per-shingle saving scales with corpus size. The hex parse is
     engine-portable: Spark conv(hex, 16, 10), DuckDB CAST('0x…' AS BIGINT).
     """
-    # r10: hash each shingle to its 60-bit digest value BEFORE the distinct
-    # and df-cap shuffles — the signature never looks at the shingle string
-    # again, so both Exchanges carry (doc_id, hi, lo) longs instead of the
-    # ~25-byte trigram text (same rows, ~2× fewer shuffle bytes; the df cap
-    # counts per (hi, lo), identical to per-shingle — the signature already
-    # equates a shingle with its md5).
-    v = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
-    hv = word_trigrams(documents).select(
-        "doc_id",
-        F.shiftright(v, 30).alias("hi"),
-        v.bitwiseAND(F.lit(_MH_HALF_MASK)).alias("lo"),
-    ).distinct()
+    # r10: the per-doc DISTINCT trigram-hash set (doc_id, hi, lo) is built
+    # in ONE mapInArrow stage (guide §4.2) — same tokenization (lower,
+    # split ' ', drop empties), same md5/60-bit parse, per-doc set dedup in
+    # place of the corpus-wide DISTINCT — so the plan drops the trigram
+    # lead-window Exchange+Sort AND the distinct Exchange, and what remains
+    # shuffles (doc_id, hi, lo) longs only (df-cap window + signature
+    # groupBy). Proved row-identical to the JVM
+    # word_trigrams→md5→conv→distinct chain with exceptAll both directions
+    # at sf0.1; the df cap counts per (hi, lo), identical to per-shingle —
+    # the signature already equates a shingle with its md5. Repartitions
+    # only when the scan yields fewer splits than the session parallelism.
+    spark = documents.sparkSession
+    d = documents.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    id_t = d.schema["doc_id"].dataType.simpleString()
+
+    def _hv_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        half_mask = _MH_HALF_MASK
+        for batch in it:
+            texts = batch.column("text").to_pylist()
+            n = batch.num_rows
+            counts: list[int] = []
+            his: list[int] = []
+            los: list[int] = []
+            for txt in texts:
+                toks = [t for t in txt.lower().split(" ") if t]
+                vs = {
+                    int(
+                        hashlib.md5(
+                            (" ".join(toks[i : i + 3])).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(len(toks) - 2)
+                }
+                counts.append(len(vs))
+                for v in vs:
+                    his.append(v >> 30)
+                    los.append(v & half_mask)
+            idx = pa.array(
+                np.repeat(np.arange(n, dtype=np.int64), np.array(counts, dtype=np.int64))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").take(idx),
+                    pa.array(his, pa.int64()),
+                    pa.array(los, pa.int64()),
+                ],
+                names=["doc_id", "hi", "lo"],
+            )
+
+    hv = d.mapInArrow(_hv_batches, f"doc_id {id_t}, hi bigint, lo bigint")
     if max_df is not None:
         hv = (
             hv.withColumn(
