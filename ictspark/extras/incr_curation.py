@@ -216,10 +216,22 @@ def _facts(batch_docs: DataFrame, store_dir: str) -> DataFrame:
     )
 
 
+# The facts row layout, stated once (ADVICE r09: _read_facts used inferred
+# schema, so a store whose batches straddle a layout change would read
+# whichever file wins inference — an explicit schema makes the read
+# deterministic and rejects, loudly, any partition missing a column).
+_FACTS_SCHEMA = (
+    "doc_id bigint, lang string, source string, n_tokens bigint, "
+    "subword_tokens bigint, quality double, is_bench boolean, fp string, "
+    "contaminated boolean, pass_gopher boolean"
+)
+
+
 def _read_facts(spark: SparkSession, store_dir: str, batch_ids: list[str]) -> DataFrame:
     root = _facts_root(store_dir)
     return (
-        spark.read.option("basePath", root)
+        spark.read.schema(_FACTS_SCHEMA)
+        .option("basePath", root)
         .parquet(*[os.path.join(root, f"batch={b}") for b in batch_ids])
         .drop("batch")
     )

@@ -173,15 +173,35 @@ def ingest_batch(batch_docs: DataFrame, store_dir: str, batch_id: str) -> dict:
                 "store: doc_ids must be globally unique across batches"
             )
     t0 = time.time()
-    feats = _doc_feats(batch_docs, n_buckets).localCheckpoint(eager=True)
+    real = _doc_feats(batch_docs, n_buckets)
+    # ADVICE r09: a token-less doc emits ZERO feature rows, so its doc_id
+    # was invisible to the feats-based re-push guard above and the same id
+    # could be silently re-ingested later with different content. Every
+    # batch doc now registers in the feats partition — token-less docs via
+    # a (b = -1, c = 0) sentinel row. Sentinels can never reach a score:
+    # real buckets are pmod-nonnegative, so the ratio table has no -1 row
+    # and the scoring join drops them (weights_read also filters b >= 0
+    # explicitly); the delta write excludes them at the source. No store
+    # layout or format change — older stores simply contain no sentinels.
+    sentinels = (
+        batch_docs.select("doc_id")
+        .join(real.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("b"),
+            F.lit(0).cast("bigint").alias("c"),
+        )
+    )
+    feats = real.unionByName(sentinels).localCheckpoint(eager=True)
     feats.write.mode("overwrite").parquet(_part(store_dir, "feats", batch_id))
     (
-        feats.groupBy("b")
+        feats.where(F.col("b") >= 0)
+        .groupBy("b")
         .agg(F.sum("c").alias("c"))
         .write.mode("overwrite")
         .parquet(_part(store_dir, "delta", batch_id))
     )
-    n_feat_rows = feats.count()
+    n_feat_rows = feats.where(F.col("b") >= 0).count()
     feats.unpersist()
     lin.commit(
         batch_id,
@@ -238,7 +258,9 @@ def weights_read(spark: SparkSession, store_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
-    feats = _read_parts(spark, store_dir, "feats", batches, _FEAT_SCHEMA)
+    feats = _read_parts(spark, store_dir, "feats", batches, _FEAT_SCHEMA).where(
+        F.col("b") >= 0  # drop the token-less-doc registry sentinels (ingest)
+    )
     return (
         feats.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")

@@ -107,6 +107,12 @@ def test_degenerate_batch_ingests(spark, tmp_path_factory):
     assert _rows(ID.weights_read(spark, store)) == _rows(
         dsir_weights(empty_ish.unionByName(real), tgt)
     )
+    # ADVICE r09: a token-less doc must still REGISTER — re-pushing its id
+    # in a later batch (here with different content) is the silent-collision
+    # hole the sentinel rows close
+    repush = spark.createDataFrame([(1, "now with text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="re-pushes"):
+        ID.ingest_batch(repush, store, "b2")
 
 
 def test_store_guards(spark, raw, target, tmp_path_factory):
