@@ -1076,6 +1076,17 @@ def dsir_budget_prefix(d: DataFrame, budget_tokens: int) -> DataFrame:
     (see dsir_select docstring); output is invariant to the bucket
     boundaries because bucket order is score order and the cross-bucket
     offsets are exact."""
+    # r10 barrier (dedup._barrier): the per-doc weight frame — ONE narrow
+    # row per scored doc — feeds THREE branches (the min/max extent agg,
+    # the per-bucket token totals, and the residual window). For
+    # dsir_select the frame is the whole dsir_weights DAG: un-materialized,
+    # that DAG executed once per branch (plans/r10/dsir_select_before.txt:
+    # 12 parquet scans, zero ReusedExchange — the broadcast subtrees never
+    # canonicalize equal). Measured: dsir_select 2.1 s → ~1.3 s warm at
+    # sf0.1/32, and incr_dsir.select_read shares the same tail.
+    from ictspark.extras.dedup import _barrier
+
+    d = _barrier(d)
     ext = d.agg(F.min("score").alias("smin"), F.max("score").alias("smax"))
     scale = F.when(
         F.col("smax") > F.col("smin"),

@@ -24,6 +24,27 @@ def _tokens(documents: DataFrame) -> DataFrame:
     ).where(F.col("token") != "")
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier for a small per-doc proxy frame (signatures,
+    fingerprints, k-gram occurrences) that is consumed MORE THAN ONCE —
+    both sides of a self-join, or several aggregation branches. Without it
+    the whole upstream chain executes once per consumer: ``mapInArrow``
+    stages do not canonicalize equal across plan branches (each call
+    pickles a fresh function object), so Spark's exchange reuse never
+    fires and the Python tokenize/hash pass runs per side (measured: the
+    minhash/simhash/winnow self-joins each carried TWO full signature
+    builds, r10 plans/). Guide §8.4: decide with small rows, and
+    materialize the proxy so re-attaching it cannot sneak the recompute
+    back in. A RELIABLE checkpoint when the session has one configured
+    (the real-cluster path — at 100 TB these proxy tables are the stage
+    outputs a pipeline persists anyway), localCheckpoint otherwise (the
+    curate_pipeline barrier rule)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 MAX_SHINGLE_DF = 100  # document-frequency cap: shingles in more docs are dropped
 # Shared defaults interpolated by BOTH the Spark operators and the DuckDB
 # oracle builder (oracle_extras) — a default change on either side cannot
@@ -350,7 +371,13 @@ def minhash_lsh_pairs(
             )
         k = r * bands
     r = k // bands
-    sig = minhash_signatures(documents, k, max_df=max_df)
+    # r10 barrier: the signature frame (ONE narrow row per doc, k longs)
+    # feeds BOTH sides of the band self-join — and on the r > 1 path two
+    # more scoring joins. Un-materialized, every branch re-runs the whole
+    # mapInArrow tokenize+md5 pass (plans/r10/minhash_lsh_pairs_cur.txt:
+    # 2× MapInArrow, 2× df-cap Window, 2× signature agg; no exchange
+    # reuse across Python nodes). Measured 2.2 s → 1.2 s warm at sf0.1/32.
+    sig = _barrier(minhash_signatures(documents, k, max_df=max_df))
     # ONE posexplode pass over the signature frame, not a bands-way union of
     # selects (r06): each union branch replayed the whole signature
     # aggregation — 42 auto-sized bands made that 42 shingle-groupBy jobs
@@ -543,7 +570,10 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) 
     docs (~10⁸ candidate pairs per chunk across ALL buckets — linear-ish),
     vs the old 16-bit/8-bit-chunk shape where each of 256 buckets held ~4 M
     docs and the join squared."""
-    s = simhash(documents)
+    # r10 barrier: TWO narrow longs per doc feed both sides of the
+    # pigeonhole self-join; without it the mapInArrow signature stage runs
+    # once per side (4 MapInArrow nodes in plans/r10/simhash_pairs_cur.txt).
+    s = _barrier(simhash(documents))
     n_chunks = max_hamming + 1
     chunk_bits = -(-N_SIMHASH_BITS // n_chunks)  # ceil
     # ONE posexplode pass over the signature frame, not an n_chunks-way union
@@ -611,6 +641,11 @@ def winnow_reuse_pairs(
             .where(F.col("df") <= max_df)
             .drop("df")
         )
+    # r10 barrier: the winnowed fingerprint index (~2/(w+1) of the k-gram
+    # stream — the thinned proxy, exactly what a MOSS-style index stores)
+    # feeds both sides of the self-join; un-materialized, the mapInArrow
+    # winnowing pass and the df-cap window run once per side.
+    sel = _barrier(sel)
     a, b = sel.alias("a"), sel.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -836,12 +871,7 @@ def repeated_ngram_spans(
     if min_span < k:
         raise ValueError(f"min_span {min_span} < k {k}: spans are unions of k-windows")
     base, occs = _span_base(documents, k)
-    sc = documents.sparkSession.sparkContext
-    occs = (
-        occs.checkpoint(eager=True)
-        if sc.getCheckpointDir() is not None
-        else occs.localCheckpoint(eager=True)
-    )
+    occs = _barrier(occs)  # ONE tokenize/shingle pass feeds keeper agg + probe
     first = occs.groupBy("h").agg(
         F.min(F.struct("doc_id", "s")).alias("first"),
         F.count(F.lit(1)).alias("cnt"),

@@ -22,12 +22,35 @@ from ictspark import aggregates as A
 from ictspark import enrich, parse
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier that also TRUNCATES LINEAGE (r10, guide §7.3
+    "driver thread dumps → planning time" + §5 localCheckpoint): `persist`
+    kept the full parse+window logical plan under every cached table, so
+    each fresh report DataFrame re-paid ~0.5-1 s of driver-side catalyst
+    analysis over that lineage before touching the (already cached) rows —
+    measured fresh-plan yields().collect() 1.3-1.5 s vs 0.06 s re-collect
+    of the same object at sf0.1/32; with the barrier the same call is
+    0.56-0.72 s. Lazy (eager=False): the first action — ReportSet
+    .materialize()'s counts, which the bench times — still performs the
+    materialization work, exactly like persist. A RELIABLE checkpoint when
+    the session has one configured (the real-cluster path, where these are
+    the stage outputs a pipeline persists anyway); localCheckpoint
+    otherwise (local/bench path — fault-tolerance of a rerunnable local
+    intermediate is not critical). Checkpoint storage is released by the
+    ContextCleaner when the ReportSet is dropped; unpersist() stays a
+    safe no-op on these frames."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 class ReportSet:
     def __init__(self, transcripts: DataFrame, tool_dim: DataFrame) -> None:
         self.tool_dim = tool_dim
-        self.steps_a = A.with_attempt(parse.parse_steps(transcripts)).persist()
-        self.runs = A.runs(self.steps_a).persist()
-        self.fails = self.steps_a.where(F.col("status") != "pass").persist()
+        self.steps_a = _barrier(A.with_attempt(parse.parse_steps(transcripts)))
+        self.runs = _barrier(A.runs(self.steps_a))
+        self.fails = _barrier(self.steps_a.where(F.col("status") != "pass"))
         self._product_runs: DataFrame | None = None  # lazy, see product_reports()
 
     def materialize(self) -> dict[str, int]:
@@ -121,7 +144,7 @@ class ReportSet:
 
         es = self.enriched()
         if self._product_runs is None:
-            self._product_runs = PR.product_runs(es).persist()
+            self._product_runs = _barrier(PR.product_runs(es))
         return {
             "product_hourly": PR.product_hourly(es, runs=self._product_runs),
             "product_daily_failures": PR.product_daily_failures(es),
