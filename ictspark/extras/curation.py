@@ -41,11 +41,17 @@ def dedup_components(
     ``max_df`` passes through to the shingle df-cap — ``None`` gives the
     uncapped, per-doc-pure pair definition the incremental stores use."""
     pairs = minhash_lsh_pairs(documents, max_df=max_df).select("doc_a", "doc_b").persist()
+    # r10: no .distinct() on the symmetrized union — minhash_lsh_pairs rows
+    # are distinct per (doc_a, doc_b) by construction (both paths end in a
+    # groupBy/distinct on exactly that key) and carry doc_a < doc_b, so the
+    # flipped half is disjoint from the original: the distinct was a full
+    # Exchange+HashAggregate that could never remove a row. Edge counts and
+    # CC labels are unchanged (min-agg and union-find are duplicate-proof
+    # anyway; the rail count compares the same number).
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
-        .distinct()
         .persist()
     )
     n_edges = edges.count()  # materialize while the pairs cache is alive (one LSH pass)
