@@ -837,7 +837,10 @@ def curate_pipeline(
     drops_cont = hit.select("doc_id", F.lit("contaminated").alias("drop_reason"))
     s5 = _ckpt(s4.join(hit, "doc_id", "left_anti"))
 
-    mix = mixture_plan(s5, budget_tokens, tokenizer=tokenizer)
+    # barrier: mix (one narrow row per surviving doc) feeds BOTH the budget
+    # drop branch and the s6 survivor join — without it the two-phase
+    # prefix-sum plan runs once per consumer (the same rule as `hit`)
+    mix = _ckpt(mixture_plan(s5, budget_tokens, tokenizer=tokenizer))
     drops_budget = mix.where(~F.col("keep")).select(
         "doc_id", F.lit("budget").alias("drop_reason")
     )

@@ -376,7 +376,10 @@ def minhash_lsh_pairs(
     # more scoring joins. Un-materialized, every branch re-runs the whole
     # mapInArrow tokenize+md5 pass (plans/r10/minhash_lsh_pairs_cur.txt:
     # 2× MapInArrow, 2× df-cap Window, 2× signature agg; no exchange
-    # reuse across Python nodes). Measured 2.2 s → 1.2 s warm at sf0.1/32.
+    # reuse across Python nodes). Measured: local wall ~flat at sf0.1/32
+    # (2.2 → 2.1 s warm; the duplicate chains ran CONCURRENTLY on idle
+    # cores) and −6% at sf1 — the real win is the HALVED per-byte Python
+    # hash work, which a busy 100 TB cluster pays for twice either way.
     sig = _barrier(minhash_signatures(documents, k, max_df=max_df))
     # ONE posexplode pass over the signature frame, not a bands-way union of
     # selects (r06): each union branch replayed the whole signature
