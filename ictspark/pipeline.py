@@ -38,11 +38,25 @@ def _barrier(df: DataFrame) -> DataFrame:
     otherwise (local/bench path — fault-tolerance of a rerunnable local
     intermediate is not critical). Checkpoint storage is released by the
     ContextCleaner when the ReportSet is dropped; unpersist() stays a
-    safe no-op on these frames."""
+    safe no-op on these frames.
+
+    Storage level DISK_ONLY, deliberately (r10, measured): the default
+    MEMORY_AND_DISK holds the checkpointed rows DESERIALIZED in the
+    unified memory pool's protected storage region, where — unlike a
+    persist()'s evictable cache — repeated ReportSet construction (the
+    bench's best-of-3 reps; the scaling job's warmup+reps) accumulates
+    them (unpersist is a no-op on checkpoints) until aggregation tasks
+    hit SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY — reproduced at
+    sf4/local[32] in scripts/_scaling_job.py. DISK_ONLY keeps the
+    blocks out of the memory pool entirely at ANY scale factor; reads
+    stream back through the OS page cache (sf0.1 bench e2e measured
+    unchanged, sf4 scaling job green again)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=False)
-    return df.localCheckpoint(eager=False)
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
 
 class ReportSet:
