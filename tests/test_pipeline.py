@@ -134,3 +134,20 @@ def test_yields_materialize_leaves_no_cached_frames(spark, sa):
     assert out.count() > 0
     after = jsc.getPersistentRDDs().size()
     assert after == before, (before, after)
+
+
+def test_reportset_barrier_truncates_lineage(rs):
+    """r10 (OPTIMIZATION_r10.md §P3): the materialized intermediates must be
+    lineage-truncated leaves — with plain persist() every fresh report
+    DataFrame re-paid ~0.5-1 s of catalyst analysis walking the parse+window
+    plan under the cache (measured; the round's biggest headline win). The
+    barrier makes steps_a a scanned RDD leaf: no Generate/posexplode (the
+    parse explode) and no Window (the attempt ranking) may remain in its
+    analyzed plan, and downstream report plans shrink accordingly."""
+    steps_plan = rs.steps_a._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in steps_plan or "ExistingRDD" in steps_plan, steps_plan
+    assert "Generate" not in steps_plan and "Window" not in steps_plan, steps_plan
+    # a derived report's whole optimized plan stays small (pre-barrier:
+    # hundreds of lines, plans/r10/yield_report_before.txt)
+    y_plan = rs.yields()._jdf.queryExecution().optimizedPlan().toString()
+    assert len(y_plan.splitlines()) < 120, len(y_plan.splitlines())
